@@ -1,0 +1,44 @@
+"""Model registry + builder (reference: slowfast/models/build.py).
+
+``build_model(cfg)`` returns ``(module, params)``: a flax module and its
+initialized parameter pytree. There is no DDP wrap — data parallelism comes
+from sharding the batch under jit (see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.registry import Registry
+
+MODEL_REGISTRY = Registry("MODEL")
+
+
+def compute_dtypes(cfg):
+    compute = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    param = jnp.bfloat16 if cfg.TPU.PARAM_DTYPE == "bfloat16" else jnp.float32
+    return compute, param
+
+
+def build_module(cfg):
+    """Instantiate the flax module named by ``cfg.MODEL.MODEL_NAME``.
+
+    Returns ``(module, example_input)`` where example_input is a minimal
+    batch-1 input pytree suitable for ``module.init``.
+    """
+    from . import zoo  # noqa: F401  (populates the registry)
+
+    builder = MODEL_REGISTRY.get(cfg.MODEL.MODEL_NAME)
+    return builder(cfg)
+
+
+def build_model(cfg, rng: jax.Array | None = None):
+    """Build module and initialize its parameters."""
+    module, example_input = build_module(cfg)
+    if rng is None:
+        rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    # jit the init: eager per-op dispatch of a deep model is pathologically
+    # slow, and jit also avoids materializing intermediate activations.
+    variables = jax.jit(module.init)({"params": rng}, example_input)
+    return module, variables["params"]

@@ -1,0 +1,554 @@
+"""MViT-v1/v2 video backbone, TPU-native.
+
+Re-design of the reference MViT
+(`/root/reference/slowfast/models/video_model_builder.py:794-1335` and
+`slowfast/models/attention.py`) in flax/JAX:
+
+- The per-block dim/head/pool schedule is a *pure derivation*
+  (:func:`build_mvit_spec`) instead of the reference's in-place cfg mutation
+  (`video_model_builder.py:957-981`).
+- Token tensors are channels-last; pooling runs in NDHWC (see ops/pooling.py).
+- Activation checkpointing uses `flax.linen.remat` (replaces fairscale's
+  checkpoint_wrapper, `video_model_builder.py:1036-1037`).
+- Numerical parity notes vs the reference:
+  * block norms (norm1/norm2/final) use LayerNorm eps=1e-6
+    (`video_model_builder.py:849-851`); the q/k/v pool norms inside attention
+    use the torch default eps=1e-5 (`attention.py:338` passes raw
+    nn.LayerNorm).
+  * GELU is the exact erf form (torch default).
+  * softmax/matmul accumulate in float32 via preferred_element_type.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.pooling import attention_pool
+from .common import DropPath, Mlp, round_width, trunc_normal_init
+from .heads import TransformerBasicHead, ContrastiveProjectionHead
+
+Triple = tuple[int, int, int]
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockSpec:
+    """Static description of one MultiScaleBlock."""
+
+    dim: int  # input channel dim
+    dim_out: int  # output channel dim
+    num_heads: int
+    kernel_q: Triple | tuple  # () = no q pooling
+    kernel_kv: Triple | tuple
+    stride_q: Triple | tuple
+    stride_kv: Triple | tuple
+    drop_path: float
+
+
+@dataclasses.dataclass(frozen=True)
+class MViTSpec:
+    """Static, hashable description of a full MViT model."""
+
+    crop_size: int
+    num_frames: int
+    in_channels: int
+    patch_kernel: Triple
+    patch_stride: Triple
+    patch_padding: Triple
+    embed_dim: int
+    depth: int
+    cls_embed: bool
+    sep_pos_embed: bool
+    drop_rate: float
+    mode: str  # conv | max | avg
+    qkv_bias: bool
+    mlp_ratio: float
+    q_pool_residual: bool
+    channel_expand_front: bool
+    no_norm_before_avg: bool
+    direct_input: bool
+    blocks: tuple  # tuple[BlockSpec, ...] and expand flags resolved
+    num_classes: int
+    head_dropout: float
+    head_act: str
+    use_head_act_in_train: bool
+    act_checkpoint: bool
+    contra_enable: bool = False
+    contra_embed_dim: int = 512
+    contra_use_mlp: bool = False
+
+    @property
+    def patch_dims(self) -> Triple:
+        return (
+            self.num_frames // self.patch_stride[0],
+            self.crop_size // self.patch_stride[1],
+            self.crop_size // self.patch_stride[2],
+        )
+
+
+def _t3(x) -> Triple:
+    return tuple(int(v) for v in x)  # type: ignore[return-value]
+
+
+def build_mvit_spec(cfg) -> MViTSpec:
+    """Derive the static block schedule from a config.
+
+    Pure version of the reference constructor logic
+    (`video_model_builder.py:915-1040`): dim/head multipliers, q-pool stride
+    schedule (incl. Q_POOL_ALL stride-1 conv pooling at every block), and the
+    adaptive kv-stride decay (POOL_KV_STRIDE_ADAPTIVE divides by each block's
+    q stride as resolution shrinks).
+    """
+    m = cfg.MVIT
+    depth = m.DEPTH
+
+    dim_mul = np.ones(depth + 1)
+    head_mul = np.ones(depth + 1)
+    for i, mul in m.DIM_MUL:
+        dim_mul[i] = mul
+    for i, mul in m.HEAD_MUL:
+        head_mul[i] = mul
+
+    pool_q: list = [() for _ in range(depth)]
+    pool_kv: list = [() for _ in range(depth)]
+    stride_q: list = [() for _ in range(depth)]
+    stride_kv: list = [() for _ in range(depth)]
+
+    kvq_kernel = m.POOL_KVQ_KERNEL
+    for entry in m.POOL_Q_STRIDE:
+        i, s = entry[0], entry[1:]
+        stride_q[i] = _t3(s)
+        pool_q[i] = _t3(kvq_kernel) if kvq_kernel is not None else _t3(
+            [v + 1 if v > 1 else v for v in s]
+        )
+
+    if m.Q_POOL_ALL:
+        # v2: stride-1 conv pooling on q at every remaining block
+        assert kvq_kernel is not None
+        for i in range(depth):
+            if not pool_q[i]:
+                pool_q[i] = _t3(kvq_kernel)
+                stride_q[i] = (1, 1, 1)
+
+    kv_stride_schedule = m.POOL_KV_STRIDE
+    if m.POOL_KV_STRIDE_ADAPTIVE is not None:
+        _skv = list(m.POOL_KV_STRIDE_ADAPTIVE)
+        kv_stride_schedule = []
+        for i in range(depth):
+            if len(stride_q[i]) > 0:
+                _skv = [max(_skv[d] // stride_q[i][d], 1) for d in range(3)]
+            kv_stride_schedule.append([i] + list(_skv))
+
+    for entry in kv_stride_schedule or []:
+        i, s = entry[0], entry[1:]
+        stride_kv[i] = _t3(s)
+        pool_kv[i] = _t3(kvq_kernel) if kvq_kernel is not None else _t3(
+            [v + 1 if v > 1 else v for v in s]
+        )
+
+    dpr = np.linspace(0, m.DROPPATH_RATE, depth)
+
+    blocks = []
+    num_heads = m.NUM_HEADS
+    embed_dim = m.EMBED_DIM
+    dim_out = m.EMBED_DIM
+    for i in range(depth):
+        num_heads = round_width(num_heads, head_mul[i])
+        if m.CHANNEL_EXPAND_FRONT:
+            embed_dim_mul = 1.0 if i == 0 else dim_mul[i - 1]
+            embed_dim = round_width(embed_dim, embed_dim_mul, divisor=num_heads)
+            dim_out = round_width(dim_out, dim_mul[i], divisor=num_heads)
+        else:
+            embed_dim = round_width(embed_dim, dim_mul[i], divisor=num_heads)
+            dim_out = round_width(
+                embed_dim,
+                dim_mul[i + 1],
+                divisor=round_width(num_heads, head_mul[i + 1]),
+            )
+        blocks.append(
+            BlockSpec(
+                dim=embed_dim,
+                dim_out=dim_out,
+                num_heads=num_heads,
+                kernel_q=pool_q[i],
+                kernel_kv=pool_kv[i],
+                stride_q=stride_q[i],
+                stride_kv=stride_kv[i],
+                drop_path=float(dpr[i]),
+            )
+        )
+
+    return MViTSpec(
+        crop_size=cfg.DATA.TRAIN_CROP_SIZE,
+        num_frames=cfg.DATA.NUM_FRAMES,
+        in_channels=cfg.DATA.INPUT_CHANNEL_NUM[0],
+        patch_kernel=_t3(m.PATCH_KERNEL),
+        patch_stride=_t3(m.PATCH_STRIDE),
+        patch_padding=_t3(m.PATCH_PADDING),
+        embed_dim=m.EMBED_DIM,
+        depth=depth,
+        cls_embed=m.CLS_EMBED_ON,
+        sep_pos_embed=m.SEP_POS_EMBED,
+        drop_rate=m.DROPOUT_RATE,
+        mode=m.MODE,
+        qkv_bias=m.QKV_BIAS,
+        mlp_ratio=m.MLP_RATIO,
+        q_pool_residual=m.Q_POOL_RESIDUAL,
+        channel_expand_front=m.CHANNEL_EXPAND_FRONT,
+        no_norm_before_avg=m.NO_NORM_BEFORE_AVG,
+        direct_input=m.DIRECT_INPUT,
+        blocks=tuple(blocks),
+        num_classes=cfg.MODEL.NUM_CLASSES,
+        head_dropout=cfg.MODEL.DROPOUT_RATE,
+        head_act=cfg.MODEL.HEAD_ACT,
+        use_head_act_in_train=cfg.MODEL.USE_HEAD_ACT_IN_TRAIN,
+        act_checkpoint=cfg.MODEL.ACT_CHECKPOINT,
+        contra_enable=cfg.CONTRA.ENABLE,
+        contra_embed_dim=cfg.CONTRA.embed_dim,
+        contra_use_mlp=cfg.CONTRA.use_MLP,
+    )
+
+
+class MultiScaleAttention(nn.Module):
+    """Pooled multi-head attention (reference: attention.py:86-284).
+
+    q/k/v are pooled in token space (depthwise conv / max / avg) before the
+    attention matmuls; the output length follows the pooled query. MViT-v2
+    adds a query residual (``x += q``) before the output projection.
+    """
+
+    dim: int
+    dim_out: int
+    num_heads: int
+    kernel_q: tuple
+    kernel_kv: tuple
+    stride_q: tuple
+    stride_kv: tuple
+    mode: str
+    qkv_bias: bool
+    has_cls: bool
+    q_pool_residual: bool
+    drop_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @staticmethod
+    def _active(kernel, stride) -> bool:
+        """Pooling is skipped entirely for 1x1x1 kernel with unit stride."""
+        return (
+            len(kernel) > 0
+            and not (np.prod(kernel) == 1 and np.prod(stride) == 1)
+        )
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, thw: Triple, *, deterministic: bool = True
+    ) -> tuple[jax.Array, Triple]:
+        B, L, _ = x.shape
+        C = self.dim_out
+        h = self.num_heads
+        d = C // h
+        scale = d ** -0.5
+
+        qkv = nn.Dense(
+            3 * C,
+            use_bias=self.qkv_bias,
+            kernel_init=trunc_normal_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="qkv",
+        )(x)
+        # [B, L, 3, h, d] -> 3 x [B, h, L, d]
+        qkv = qkv.reshape(B, L, 3, h, d).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        do_q = self._active(self.kernel_q, self.stride_q)
+        do_kv = self._active(self.kernel_kv, self.stride_kv)
+
+        def _pool(t, name, kernel, stride):
+            if self.mode == "conv":
+                w = self.param(
+                    f"pool_{name}",
+                    nn.initializers.lecun_normal(),
+                    (*kernel, 1, d),
+                    self.param_dtype,
+                ).astype(self.dtype)
+            else:
+                w = None
+            t, new_thw = attention_pool(
+                t, thw, mode=self.mode, kernel=kernel, stride=stride,
+                conv_weights=w, has_cls=self.has_cls,
+            )
+            if self.mode == "conv":
+                # torch-default eps (attention.py constructs raw nn.LayerNorm)
+                t = nn.LayerNorm(
+                    epsilon=1e-5, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name=f"norm_{name}",
+                )(t)
+            return t, new_thw
+
+        out_thw = thw
+        if do_q:
+            q, out_thw = _pool(q, "q", self.kernel_q, self.stride_q)
+        if do_kv:
+            k, _ = _pool(k, "k", self.kernel_kv, self.stride_kv)
+            v, _ = _pool(v, "v", self.kernel_kv, self.stride_kv)
+
+        attn = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32
+        ).astype(self.dtype)
+
+        Lq = out.shape[2]
+        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, C)
+        if self.q_pool_residual:
+            out = out + q.transpose(0, 2, 1, 3).reshape(B, Lq, C)
+
+        out = nn.Dense(
+            C,
+            kernel_init=trunc_normal_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="proj",
+        )(out)
+        if self.drop_rate > 0.0:
+            out = nn.Dropout(self.drop_rate, deterministic=deterministic)(out)
+        return out, out_thw
+
+
+class MultiScaleBlock(nn.Module):
+    """Transformer block with pooled attention (reference: attention.py:287-446)."""
+
+    spec: BlockSpec
+    mode: str
+    qkv_bias: bool
+    has_cls: bool
+    q_pool_residual: bool
+    channel_expand_front: bool
+    mlp_ratio: float
+    drop_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, thw: Triple, deterministic: bool = True
+    ) -> tuple[jax.Array, Triple]:
+        s = self.spec
+        expand_channel = self.channel_expand_front and s.dim != s.dim_out
+        # with front expansion the attention output (and the rest of the
+        # block) runs at dim_out; otherwise attention stays at dim and the
+        # MLP performs the channel change.
+        dim_att = s.dim_out if expand_channel else s.dim
+
+        ln = lambda name: nn.LayerNorm(  # noqa: E731
+            epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
+            name=name,
+        )
+
+        x_block, thw_new = MultiScaleAttention(
+            dim=s.dim,
+            dim_out=dim_att,
+            num_heads=s.num_heads,
+            kernel_q=s.kernel_q,
+            kernel_kv=s.kernel_kv,
+            stride_q=s.stride_q,
+            stride_kv=s.stride_kv,
+            mode=self.mode,
+            qkv_bias=self.qkv_bias,
+            has_cls=self.has_cls,
+            q_pool_residual=self.q_pool_residual,
+            drop_rate=self.drop_rate,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="attn",
+        )(ln("norm1")(x), thw, deterministic=deterministic)
+
+        if expand_channel:
+            x = nn.Dense(
+                s.dim_out,
+                kernel_init=trunc_normal_init,
+                bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="proj_max_pool",
+            )(x)
+
+        # skip-path pooling: maxpool with kernel s+1 where stride>1
+        kernel_skip = tuple(v + 1 if v > 1 else v for v in s.stride_q)
+        if len(kernel_skip) > 0 and np.prod(kernel_skip) > 1:
+            x_res, _ = attention_pool(
+                x, thw, mode="max", kernel=kernel_skip, stride=s.stride_q,
+                has_cls=self.has_cls,
+            )
+        else:
+            x_res = x
+
+        dp = DropPath(s.drop_path)
+        x = x_res + dp(x_block, deterministic=deterministic)
+
+        x_norm = ln("norm2")(x)
+        x_mlp = Mlp(
+            hidden_features=int(dim_att * self.mlp_ratio),
+            out_features=s.dim_out,
+            drop_rate=self.drop_rate,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="mlp",
+        )(x_norm, deterministic=deterministic)
+
+        if dim_att != s.dim_out:
+            # (non-expand-front) channel change in the MLP: residual comes
+            # from the *normed* input through a linear projection
+            x = nn.Dense(
+                s.dim_out,
+                kernel_init=trunc_normal_init,
+                bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="proj",
+            )(x_norm)
+
+        x = x + dp(x_mlp, deterministic=deterministic)
+        return x, thw_new
+
+
+class MViT(nn.Module):
+    """MViT-v1/v2 backbone + classification head.
+
+    Input: list of pathway tensors (``x[0]`` used) or a single tensor when
+    ``spec.direct_input``; tensor layout ``[B, T, H, W, C]`` (channels last —
+    TPU-native; the reference uses ``[B, C, T, H, W]``).
+    """
+
+    spec: MViTSpec
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        sp = self.spec
+        deterministic = not train
+        if not sp.direct_input and isinstance(x, (list, tuple)):
+            x = x[0]
+
+        B = x.shape[0]
+        p = sp.patch_padding
+        x = nn.Conv(
+            features=sp.embed_dim,
+            kernel_size=sp.patch_kernel,
+            strides=sp.patch_stride,
+            padding=[(p[0], p[0]), (p[1], p[1]), (p[2], p[2])],
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="patch_embed",
+        )(x)
+        T, H, W = x.shape[1], x.shape[2], x.shape[3]
+        x = x.reshape(B, T * H * W, sp.embed_dim)
+
+        if sp.cls_embed:
+            cls_token = self.param(
+                "cls_token", nn.initializers.truncated_normal(0.02, lower=-2.0, upper=2.0),
+                (1, 1, sp.embed_dim), self.param_dtype,
+            )
+            x = jnp.concatenate(
+                [jnp.tile(cls_token.astype(self.dtype), (B, 1, 1)), x], axis=1
+            )
+
+        pt, ph, pw = sp.patch_dims
+        if sp.sep_pos_embed:
+            pos_sp = self.param(
+                "pos_embed_spatial",
+                nn.initializers.truncated_normal(0.02, lower=-2.0, upper=2.0),
+                (1, ph * pw, sp.embed_dim), self.param_dtype,
+            )
+            pos_tmp = self.param(
+                "pos_embed_temporal",
+                nn.initializers.truncated_normal(0.02, lower=-2.0, upper=2.0),
+                (1, pt, sp.embed_dim), self.param_dtype,
+            )
+            pos = jnp.tile(pos_sp, (1, pt, 1)) + jnp.repeat(
+                pos_tmp, ph * pw, axis=1
+            )
+            if sp.cls_embed:
+                pos_cls = self.param(
+                    "pos_embed_class",
+                    nn.initializers.truncated_normal(0.02, lower=-2.0, upper=2.0),
+                    (1, 1, sp.embed_dim), self.param_dtype,
+                )
+                pos = jnp.concatenate([pos_cls, pos], axis=1)
+        else:
+            n_tok = pt * ph * pw + (1 if sp.cls_embed else 0)
+            pos = self.param(
+                "pos_embed",
+                nn.initializers.truncated_normal(0.02, lower=-2.0, upper=2.0),
+                (1, n_tok, sp.embed_dim), self.param_dtype,
+            )
+        x = x + pos.astype(self.dtype)
+
+        if sp.drop_rate > 0.0:
+            x = nn.Dropout(sp.drop_rate, deterministic=deterministic)(x)
+
+        thw = (T, H, W)
+        block_cls = MultiScaleBlock
+        if sp.act_checkpoint:
+            # thw (arg 2) and deterministic (arg 3) are static; arg 0 is self
+            block_cls = nn.remat(
+                MultiScaleBlock, static_argnums=(2, 3), prevent_cse=False,
+            )
+        for i, bs in enumerate(sp.blocks):
+            blk = block_cls(
+                spec=bs,
+                mode=sp.mode,
+                qkv_bias=sp.qkv_bias,
+                has_cls=sp.cls_embed,
+                q_pool_residual=sp.q_pool_residual,
+                channel_expand_front=sp.channel_expand_front,
+                mlp_ratio=sp.mlp_ratio,
+                drop_rate=sp.drop_rate,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"blocks_{i}",
+            )
+            x, thw = blk(x, thw, deterministic)
+
+        if not sp.no_norm_before_avg:
+            x = nn.LayerNorm(
+                epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
+                name="norm",
+            )(x)
+
+        if sp.cls_embed:
+            feat = x[:, 0]
+        else:
+            feat = x.mean(axis=1)
+
+        if sp.contra_enable:
+            return ContrastiveProjectionHead(
+                dim_out=sp.contra_embed_dim,
+                use_mlp=sp.contra_use_mlp,
+                dropout_rate=sp.head_dropout,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="head",
+            )(feat, deterministic=deterministic)
+
+        return TransformerBasicHead(
+            num_classes=sp.num_classes,
+            dropout_rate=sp.head_dropout,
+            act_func=sp.head_act,
+            use_act_in_train=sp.use_head_act_in_train,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="head",
+        )(feat, train=train)

@@ -1,0 +1,200 @@
+"""PyTorch checkpoint → flax parameter conversion.
+
+Converts reference `.pyth` checkpoints (`/root/reference/slowfast/utils/
+checkpoint.py:107-139` format: ``{"model_state": state_dict, "epoch", ...}``)
+into this framework's flax parameter pytrees. Layout rules:
+
+- Linear:   torch ``[out, in]``          → flax kernel ``[in, out]``
+- Conv3d:   torch ``[out, in, kT,kH,kW]``→ flax kernel ``[kT,kH,kW,in,out]``
+- depthwise pool conv: torch ``[C, 1, k...]`` → ``[k..., 1, C]``
+- LayerNorm weight/bias → scale/bias
+
+Shape-matched partial loading mirrors the reference's fine-tuning semantics
+(`checkpoint.py:322-347`): keys whose converted shape mismatches the model's
+are skipped (and reported), not fatal.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a .pyth/.pt checkpoint into numpy without needing CUDA.
+
+    Uses torch when available (handles zipfile format); falls back to plain
+    pickle for legacy files.
+    """
+    try:
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    except ImportError:  # pragma: no cover - torch is baked into this image
+        with open(path, "rb") as f:
+            ckpt = pickle.load(f)
+    return ckpt
+
+
+def state_dict_to_numpy(sd: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        out[k] = np.asarray(v)
+    return out
+
+
+def _set(tree: dict, path: list[str], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def convert_mvit_state_dict(
+    sd: Mapping[str, np.ndarray],
+) -> dict:
+    """Convert a reference-MViT state_dict to this framework's param tree.
+
+    Reference module names are documented at
+    `video_model_builder.py:855-1121` and `attention.py:86-446`.
+    """
+    sd = state_dict_to_numpy(sd)
+    params: dict = {}
+    skipped: list[str] = []
+
+    for name, w in sd.items():
+        # strip DDP prefix if present
+        if name.startswith("module."):
+            name = name[len("module."):]
+
+        parts = name.split(".")
+        if name.startswith("patch_embed.proj."):
+            if parts[-1] == "weight":
+                _set(params, ["patch_embed", "kernel"], w.transpose(2, 3, 4, 1, 0))
+            else:
+                _set(params, ["patch_embed", "bias"], w)
+        elif name in ("cls_token", "pos_embed", "pos_embed_spatial",
+                      "pos_embed_temporal", "pos_embed_class"):
+            _set(params, [name], w)
+        elif name.startswith("norm."):
+            _set(params, ["norm", "scale" if parts[-1] == "weight" else "bias"], w)
+        elif name.startswith("head."):
+            # TransformerBasicHead: head.projection.{weight,bias}
+            # ContrastiveProjectionHead: head.norm.*, head.projection.*
+            sub = parts[1]
+            leaf = parts[-1]
+            if sub == "projection" and len(parts) == 3:
+                if leaf == "weight":
+                    _set(params, ["head", "projection", "kernel"], w.T)
+                else:
+                    _set(params, ["head", "projection", "bias"], w)
+            elif sub == "norm":
+                _set(params, ["head", "norm",
+                              "scale" if leaf == "weight" else "bias"], w)
+            elif sub == "projection":  # MLP projection: head.projection.fc1.*
+                fc = parts[2]
+                if leaf == "weight":
+                    _set(params, ["head", "projection", fc, "kernel"], w.T)
+                else:
+                    _set(params, ["head", "projection", fc, "bias"], w)
+            else:
+                skipped.append(name)
+        elif parts[0] == "blocks":
+            i = int(parts[1])
+            rest = parts[2:]
+            base = [f"blocks_{i}"]
+            params_path, value = _convert_block_entry(rest, w)
+            if params_path is None:
+                skipped.append(name)
+            else:
+                _set(params, base + params_path, value)
+        else:
+            skipped.append(name)
+
+    return params, skipped
+
+
+def _convert_block_entry(rest: list[str], w: np.ndarray):
+    """Convert one `blocks.{i}.<rest>` entry. Returns (path, value) or (None, None)."""
+    leaf = rest[-1]
+
+    def ln(prefix):
+        return prefix + ["scale" if leaf == "weight" else "bias"], w
+
+    def dense(prefix):
+        return prefix + ["kernel" if leaf == "weight" else "bias"], (
+            w.T if leaf == "weight" else w
+        )
+
+    head = rest[0]
+    if head in ("norm1", "norm2"):
+        return ln([head])
+    if head == "proj_max_pool":
+        return dense(["proj_max_pool"])
+    if head == "proj":
+        return dense(["proj"])
+    if head == "mlp":
+        return dense(["mlp", rest[1]])
+    if head == "attn":
+        sub = rest[1]
+        if sub in ("qkv", "proj"):
+            return dense(["attn", sub])
+        if sub in ("pool_q", "pool_k", "pool_v"):
+            # depthwise conv: [C, 1, kT, kH, kW] -> [kT, kH, kW, 1, C]
+            return ["attn", sub], w.transpose(2, 3, 4, 1, 0)
+        if sub in ("norm_q", "norm_k", "norm_v"):
+            return ln(["attn", sub])
+    return None, None
+
+
+def _flatten(tree: dict, prefix=()) -> dict[tuple, np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v
+    return out
+
+
+def merge_with_model_params(
+    converted: dict, model_params, *, strict: bool = False
+):
+    """Shape-matched partial merge of converted weights into model params.
+
+    Mirrors the reference's fine-tuning load (`checkpoint.py:322-347`): only
+    keys present in the model with matching shapes are replaced. Returns
+    (new_params, loaded_keys, mismatched_keys, missing_keys).
+    """
+    import jax
+
+    flat_model = _flatten(jax.tree.map(np.asarray, model_params))
+    flat_conv = _flatten(converted)
+
+    loaded, mismatched = [], []
+    new_flat = dict(flat_model)
+    for k, v in flat_conv.items():
+        if k in flat_model:
+            if flat_model[k].shape == v.shape:
+                new_flat[k] = v.astype(flat_model[k].dtype)
+                loaded.append(k)
+            else:
+                mismatched.append((k, v.shape, flat_model[k].shape))
+        else:
+            mismatched.append((k, v.shape, None))
+    missing = [k for k in flat_model if k not in flat_conv]
+
+    if strict and (mismatched or missing):
+        raise ValueError(
+            f"strict load failed: mismatched={mismatched[:5]} missing={missing[:5]}"
+        )
+
+    # rebuild nested tree
+    tree: dict = {}
+    for k, v in new_flat.items():
+        _set(tree, list(k), v)
+    return tree, loaded, mismatched, missing
