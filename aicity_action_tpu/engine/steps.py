@@ -1,0 +1,123 @@
+"""Jitted train / eval steps.
+
+TPU-native re-design of the reference's per-iteration loop
+(`/root/reference/tools/train_net.py:83-324`):
+
+- forward + loss + backward + clip + optimizer update is ONE jitted function;
+  with the batch sharded over the mesh's data axis, XLA inserts the gradient
+  all-reduce (replaces DDP bucketed NCCL allreduce).
+- the LR is a schedule evaluated inside the step (replaces per-iter
+  ``set_lr``, train_net.py:113-115).
+- bf16 activations replace AMP GradScaler (no loss scaling needed:
+  gradients accumulate in f32).
+- NaN handling: instead of raising mid-epoch (`misc.py:26-32`), the step
+  returns ``loss_is_nan`` for the host loop to act on.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import losses as loss_lib
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+        )
+
+
+def make_train_step(
+    module,
+    tx: optax.GradientTransformation,
+    loss_name: str,
+    *,
+    mixup_fn: Optional[Callable] = None,
+    gather_before_loss: bool = False,
+    data_axis: str | None = None,
+) -> Callable:
+    """Build the jittable train step.
+
+    ``gather_before_loss`` mirrors TRAIN.GATHER_BEFORE_LOSS
+    (`train_net.py:142-152`): the loss sees the *global* batch. Under jit
+    with a sharded batch the mean over the batch axis is already global, so
+    this flag only matters for losses with cross-sample terms (handled by the
+    contrastive step separately).
+    """
+    loss_func = loss_lib.get_loss_func(loss_name)
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+        dropout_rng, droppath_rng, mixup_rng = jax.random.split(step_rng, 3)
+
+        inputs = batch["inputs"]
+        labels = batch["labels"]
+        if mixup_fn is not None:
+            inputs, labels = mixup_fn(mixup_rng, inputs, labels)
+
+        def compute_loss(params):
+            preds = module.apply(
+                {"params": params},
+                inputs,
+                train=True,
+                rngs={"dropout": dropout_rng, "droppath": droppath_rng},
+            )
+            loss = loss_func(preds, labels)
+            return loss, preds
+
+        (loss, preds), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+        )
+        metrics = {
+            "loss": loss,
+            "loss_is_nan": ~jnp.isfinite(loss),
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics, preds
+
+    return train_step
+
+
+def make_eval_step(module) -> Callable:
+    def eval_step(params, batch: dict):
+        return module.apply({"params": params}, batch["inputs"], train=False)
+
+    return eval_step
+
+
+def topk_accuracies(preds: jax.Array, labels: jax.Array, ks=(1, 5)):
+    """Top-k accuracy (reference: utils/metrics.py:topks_correct).
+
+    ``labels`` are int class ids; returns dict of accuracies in [0, 1].
+    """
+    max_k = max(ks)
+    _, top = jax.lax.top_k(preds, max_k)
+    correct = top == labels[:, None]
+    out = {}
+    for k in ks:
+        out[f"top{k}_acc"] = correct[:, :k].any(axis=1).mean()
+    return out
