@@ -1,0 +1,209 @@
+"""Clip-classification datasets (csv of ``path<sep>label`` rows).
+
+Re-designs `/root/reference/slowfast/datasets/kinetics.py` and its
+near-verbatim clone `aicity.py` (the two differ only in name — SURVEY §2.3):
+
+- train/val: one random clip per video, random scale-jitter + crop (+ flip,
+  off for aicity since classes are left/right sensitive)
+- test: each video replicated ``NUM_ENSEMBLE_VIEWS × NUM_SPATIAL_CROPS``
+  times; deterministic temporal/spatial index derived from the replica id
+  (`aicity.py:203-227`)
+- decode-failure retry with random replacement after several tries
+  (`aicity.py:238-290`)
+
+Also includes the multi-label csv datasets (mmit pattern) and VAL_SKIP
+subsampling. Items are numpy, channels-last.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Optional
+
+import numpy as np
+
+from ..utils.registry import Registry
+from . import decoder, transform
+
+DATASET_REGISTRY = Registry("DATASET")
+
+_NUM_RETRIES = 10
+_REPLACE_AFTER = 5
+
+
+class VideoCsvDataset:
+    """Base clip dataset; one row per video: ``path<sep>label``."""
+
+    multi_label = False
+
+    def __init__(self, cfg, mode: str):
+        assert mode in ("train", "val", "test"), mode
+        self.cfg = cfg
+        self.mode = mode
+
+        if mode in ("train", "val"):
+            self._num_clips = 1
+        else:
+            self._num_clips = (
+                cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+            )
+
+        self._path_to_videos: list[str] = []
+        self._labels: list = []
+        self._spatial_temporal_idx: list[int] = []
+        self._construct()
+
+    # -- csv loading ---------------------------------------------------
+    def _csv_name(self) -> str:
+        return f"{self.mode}.csv"
+
+    def _parse_label(self, label_str: str):
+        return int(label_str)
+
+    def _construct(self):
+        cfg = self.cfg
+        path = os.path.join(cfg.DATA.PATH_TO_DATA_DIR, self._csv_name())
+        assert os.path.exists(path), f"{path} not found"
+        skip = 1
+        if self.mode == "val":
+            skip = max(cfg.DATA.VAL_SKIP, 1)
+        elif self.mode == "test":
+            skip = max(cfg.DATA.TEST_SKIP, 1)
+        with open(path) as f:
+            rows = [ln.strip() for ln in f if ln.strip()]
+        for clip_idx, row in enumerate(rows):
+            if clip_idx % skip != 0:
+                continue
+            fields = row.split(self.cfg.DATA.PATH_LABEL_SEPARATOR)
+            assert len(fields) == 2, (path, row)
+            video_path, label = fields
+            for idx in range(self._num_clips):
+                self._path_to_videos.append(
+                    os.path.join(cfg.DATA.PATH_PREFIX, video_path)
+                )
+                self._labels.append(self._parse_label(label))
+                self._spatial_temporal_idx.append(idx)
+        assert self._path_to_videos, f"empty dataset from {path}"
+
+    def __len__(self) -> int:
+        return len(self._path_to_videos)
+
+    @property
+    def num_videos(self) -> int:
+        return len(self._path_to_videos) // self._num_clips
+
+    # -- item ------------------------------------------------------------
+    def _sampling_params(self, index: int):
+        cfg = self.cfg
+        if self.mode in ("train", "val"):
+            temporal_idx = -1
+            spatial_idx = -1
+            min_scale, max_scale = cfg.DATA.TRAIN_JITTER_SCALES
+            crop_size = cfg.DATA.TRAIN_CROP_SIZE
+        else:
+            replica = self._spatial_temporal_idx[index]
+            temporal_idx = replica // cfg.TEST.NUM_SPATIAL_CROPS
+            spatial_idx = replica % cfg.TEST.NUM_SPATIAL_CROPS
+            if cfg.TEST.NUM_SPATIAL_CROPS == 1:
+                spatial_idx = 1  # center crop
+            min_scale = max_scale = crop_size = cfg.DATA.TEST_CROP_SIZE
+        return temporal_idx, spatial_idx, min_scale, max_scale, crop_size
+
+    def __getitem__(self, index: int):
+        cfg = self.cfg
+        index = int(index)
+        rng = random.Random() if self.mode == "train" else random.Random(index)
+        (temporal_idx, spatial_idx, min_scale, max_scale,
+         crop_size) = self._sampling_params(index)
+
+        for retry in range(_NUM_RETRIES):
+            path = self._path_to_videos[index]
+            try:
+                frames = decoder.decode(
+                    path,
+                    cfg.DATA.SAMPLING_RATE,
+                    cfg.DATA.NUM_FRAMES,
+                    clip_idx=temporal_idx,
+                    num_clips=cfg.TEST.NUM_ENSEMBLE_VIEWS,
+                    target_fps=cfg.DATA.TARGET_FPS,
+                    backend=cfg.DATA.DECODING_BACKEND,
+                    use_offset=cfg.DATA.USE_OFFSET_SAMPLING,
+                    rng=rng,
+                )
+            except Exception:
+                frames = None
+            if frames is not None:
+                break
+            if retry >= _REPLACE_AFTER and self.mode != "test":
+                index = rng.randrange(len(self))
+        else:
+            raise RuntimeError(
+                f"Failed to decode after {_NUM_RETRIES} retries: "
+                f"{self._path_to_videos[index]}"
+            )
+
+        if cfg.DATA.REVERSE_INPUT_CHANNEL:
+            frames = frames[..., ::-1]
+
+        frames = transform.spatial_sampling(
+            frames,
+            spatial_idx=spatial_idx,
+            min_scale=min_scale,
+            max_scale=max_scale,
+            crop_size=crop_size,
+            random_horizontal_flip=cfg.DATA.RANDOM_FLIP,
+            inverse_uniform_sampling=cfg.DATA.INV_UNIFORM_SAMPLE,
+            rng=rng,
+        )
+        frames = transform.tensor_normalize(
+            frames, cfg.DATA.MEAN, cfg.DATA.STD
+        )
+
+        n_path = 2 if cfg.MODEL.ARCH in cfg.MODEL.MULTI_PATHWAY_ARCH else 1
+        inputs = transform.pack_pathway_output(
+            frames, n_path, cfg.SLOWFAST.ALPHA
+        )
+        label = self._labels[index]
+        return inputs, label, index, {}
+
+
+@DATASET_REGISTRY.register(name="Kinetics")
+class Kinetics(VideoCsvDataset):
+    pass
+
+
+@DATASET_REGISTRY.register(name="Aicity")
+class Aicity(VideoCsvDataset):
+    """AI City driver-action clips (reference aicity.py == kinetics.py)."""
+
+
+@DATASET_REGISTRY.register(name="Activitynet")
+class Activitynet(VideoCsvDataset):
+    def _parse_label(self, label_str: str):
+        # activitynet keeps only the first label (activitynet.py:134-135)
+        return int(label_str.split(",")[0])
+
+
+@DATASET_REGISTRY.register(name="Mmit")
+class Mmit(VideoCsvDataset):
+    """Multi-label: comma-separated ids → multi-hot (mmit.py:139-153)."""
+
+    multi_label = True
+
+    def _parse_label(self, label_str: str):
+        onehot = np.zeros(self.cfg.MODEL.NUM_CLASSES, np.float32)
+        for tok in label_str.split(","):
+            if tok != "":
+                onehot[int(tok)] = 1.0
+        return onehot
+
+
+@DATASET_REGISTRY.register(name="Mit")
+class Mit(VideoCsvDataset):
+    pass
+
+
+def build_dataset(name: str, cfg, split: str):
+    """Reference: datasets/build.py:15-31 — name is capitalized to class."""
+    return DATASET_REGISTRY.get(name.capitalize())(cfg, split)

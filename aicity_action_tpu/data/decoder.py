@@ -1,0 +1,196 @@
+"""Video decoding and temporal clip sampling.
+
+Host-CPU stage of the input pipeline (decode is not a TPU op). Re-designs
+`/root/reference/slowfast/datasets/decoder.py` and `video_container.py`:
+
+- sampling math (`temporal_sampling`, `get_start_end_idx`) is pure numpy with
+  identical semantics (linspace + clamp; fps renormalization to TARGET_FPS)
+- backends: OpenCV (always available in this image), decord and PyAV when
+  installed (the reference's primary backends); selection mirrors
+  ``DATA.DECODING_BACKEND``.
+
+All decoders return uint8 RGB frames ``[T, H, W, 3]``.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Optional
+
+import numpy as np
+
+try:  # preferred backend of the reference (README.md:107)
+    import decord  # type: ignore
+except ImportError:
+    decord = None
+try:
+    import av  # type: ignore
+except ImportError:
+    av = None
+import cv2
+
+
+def temporal_sampling(
+    frames: np.ndarray, start_idx: float, end_idx: float, num_samples: int
+) -> np.ndarray:
+    """Uniformly sample ``num_samples`` frame indices in [start, end], clamped.
+
+    Same math as the reference (`decoder.py:10-31`) and the inference wrapper
+    (`module_wrapper.py:384-397`).
+    """
+    index = sample_indices(start_idx, end_idx, num_samples, frames.shape[0])
+    return frames[index]
+
+
+def sample_indices(
+    start_idx: float, end_idx: float, num_samples: int, video_len: int
+) -> np.ndarray:
+    index = np.linspace(start_idx, end_idx, num_samples)
+    return np.clip(index, 0, video_len - 1).astype(np.int64)
+
+
+def get_start_end_idx(
+    video_size: int,
+    clip_size: float,
+    clip_idx: int,
+    num_clips: int,
+    use_offset: bool = False,
+    rng: Optional[random.Random] = None,
+) -> tuple[float, float]:
+    """Clip placement: random (clip_idx == -1) or uniform enumeration
+    (reference: decoder.py:34-73)."""
+    delta = max(video_size - clip_size, 0)
+    if clip_idx == -1:
+        r = rng.uniform(0, delta) if rng is not None else random.uniform(0, delta)
+        start_idx = r
+    elif use_offset:
+        if num_clips == 1:
+            start_idx = math.floor(delta / 2)
+        else:
+            start_idx = clip_idx * math.floor(delta / (num_clips - 1))
+    else:
+        start_idx = delta * clip_idx / num_clips
+    end_idx = start_idx + clip_size - 1
+    return start_idx, end_idx
+
+
+def clip_size_in_frames(
+    sampling_rate: int, num_frames: int, fps: float, target_fps: float
+) -> float:
+    """Length of the clip in source frames, renormalized to the target fps
+    (reference: decoder.py:476)."""
+    return sampling_rate * num_frames / target_fps * fps
+
+
+# ------------------------------------------------------------- backends
+def _cv2_decode_all(path: str) -> tuple[np.ndarray, float]:
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise RuntimeError(f"cv2 failed to open {path}")
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(frame[:, :, ::-1])  # BGR -> RGB
+    cap.release()
+    if not frames:
+        raise RuntimeError(f"cv2 decoded 0 frames from {path}")
+    return np.stack(frames), fps
+
+
+def _cv2_decode_indices(path: str, indices: np.ndarray) -> np.ndarray:
+    """Sequential decode grabbing only the requested (sorted) indices."""
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise RuntimeError(f"cv2 failed to open {path}")
+    want = np.asarray(indices)
+    out: dict[int, np.ndarray] = {}
+    need = set(int(i) for i in want)
+    last = max(need)
+    i = 0
+    while i <= last:
+        ok = cap.grab()
+        if not ok:
+            break
+        if i in need:
+            ok, frame = cap.retrieve()
+            if not ok:
+                break
+            out[i] = frame[:, :, ::-1]
+        i += 1
+    cap.release()
+    if not out:
+        raise RuntimeError(f"cv2 decoded 0 frames from {path}")
+    # frame-count metadata can overestimate; substitute the nearest decoded
+    got = sorted(out)
+    def nearest(i):
+        i = int(i)
+        if i in out:
+            return out[i]
+        return out[min(got, key=lambda k: abs(k - i))]
+    return np.stack([nearest(i) for i in want])
+
+
+def cv2_video_meta(path: str) -> tuple[int, float]:
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise RuntimeError(f"cv2 failed to open {path}")
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    cap.release()
+    return n, fps
+
+
+def decode(
+    path: str,
+    sampling_rate: int,
+    num_frames: int,
+    clip_idx: int = -1,
+    num_clips: int = 10,
+    target_fps: float = 30.0,
+    backend: str = "cv2",
+    use_offset: bool = False,
+    rng: Optional[random.Random] = None,
+) -> np.ndarray:
+    """Decode one clip from a video file → uint8 RGB ``[T, H, W, 3]``.
+
+    Dispatch mirrors the reference `decoder.py:391-486`: pick the clip
+    placement in fps-renormalized frame space, then batch-fetch the sampled
+    indices.
+    """
+    if backend == "decord" and decord is not None:
+        vr = decord.VideoReader(path, num_threads=1)
+        fps = float(vr.get_avg_fps() or 30.0)
+        video_size = len(vr)
+        clip_sz = clip_size_in_frames(sampling_rate, num_frames, fps, target_fps)
+        s, e = get_start_end_idx(video_size, clip_sz, clip_idx, num_clips,
+                                 use_offset, rng)
+        idx = sample_indices(s, e, num_frames, video_size)
+        return vr.get_batch(idx).asnumpy()
+    if backend == "pyav" and av is not None:
+        with av.open(path) as container:
+            stream = container.streams.video[0]
+            fps = float(stream.average_rate or 30.0)
+            frames = np.stack(
+                [f.to_rgb().to_ndarray() for f in container.decode(stream)]
+            )
+        clip_sz = clip_size_in_frames(sampling_rate, num_frames, fps, target_fps)
+        s, e = get_start_end_idx(frames.shape[0], clip_sz, clip_idx,
+                                 num_clips, use_offset, rng)
+        return temporal_sampling(frames, s, e, num_frames)
+    # cv2 fallback/primary: read metadata, then selectively grab frames
+    video_size, fps = cv2_video_meta(path)
+    clip_sz = clip_size_in_frames(sampling_rate, num_frames, fps, target_fps)
+    if video_size <= 0:
+        frames, fps = _cv2_decode_all(path)
+        video_size = frames.shape[0]
+        s, e = get_start_end_idx(video_size, clip_sz, clip_idx, num_clips,
+                                 use_offset, rng)
+        return temporal_sampling(frames, s, e, num_frames)
+    s, e = get_start_end_idx(video_size, clip_sz, clip_idx, num_clips,
+                             use_offset, rng)
+    idx = sample_indices(s, e, num_frames, video_size)
+    return _cv2_decode_indices(path, idx)

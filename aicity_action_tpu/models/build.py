@@ -34,11 +34,24 @@ def build_module(cfg):
 
 
 def build_model(cfg, rng: jax.Array | None = None):
-    """Build module and initialize its parameters."""
+    """Build module and initialize its parameters.
+
+    Uses flax ``lazy_init`` — parameter initializers run concretely but the
+    forward computation is traced abstractly, so init never executes the
+    (expensive-to-compile) Pallas kernels or a full forward pass.
+    """
+    from ..utils.env import setup_environment
+
+    setup_environment()
     module, example_input = build_module(cfg)
     if rng is None:
         rng = jax.random.PRNGKey(cfg.RNG_SEED)
-    # jit the init: eager per-op dispatch of a deep model is pathologically
-    # slow, and jit also avoids materializing intermediate activations.
-    variables = jax.jit(module.init)({"params": rng}, example_input)
-    return module, variables["params"]
+    # run the (eager) initializers on host CPU — tiny per-op dispatches over
+    # the device tunnel would dominate otherwise — then transfer once.
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        variables = module.lazy_init({"params": rng}, example_input)
+    params = variables["params"]
+    if jax.default_backend() != "cpu":
+        params = jax.device_put(params, jax.devices()[0])
+    return module, params

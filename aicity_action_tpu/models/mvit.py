@@ -30,6 +30,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.pooling import attention_pool
+from ..ops.pallas.flash_attention import (
+    flash_attention,
+    flash_attention_supported,
+)
 from .common import DropPath, Mlp, round_width, trunc_normal_init
 from .heads import TransformerBasicHead, ContrastiveProjectionHead
 
@@ -234,6 +238,7 @@ class MultiScaleAttention(nn.Module):
     has_cls: bool
     q_pool_residual: bool
     drop_rate: float = 0.0
+    use_flash: bool = True
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -300,15 +305,29 @@ class MultiScaleAttention(nn.Module):
             k, _ = _pool(k, "k", self.kernel_kv, self.stride_kv)
             v, _ = _pool(v, "v", self.kernel_kv, self.stride_kv)
 
-        attn = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum(
-            "bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32
-        ).astype(self.dtype)
+        Lq, Lk = q.shape[2], k.shape[2]
+        if (
+            self.use_flash
+            and not self.has_cls
+            and jax.default_backend() == "tpu"
+            and flash_attention_supported(Lq, Lk, d)
+        ):
+            # Pallas streaming-softmax kernel: logits never touch HBM.
+            out = flash_attention(
+                q.reshape(B * h, Lq, d),
+                k.reshape(B * h, Lk, d),
+                v.reshape(B * h, Lk, d),
+                scale,
+            ).reshape(B, h, Lq, d)
+        else:
+            attn = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum(
+                "bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32
+            ).astype(self.dtype)
 
-        Lq = out.shape[2]
         out = out.transpose(0, 2, 1, 3).reshape(B, Lq, C)
         if self.q_pool_residual:
             out = out + q.transpose(0, 2, 1, 3).reshape(B, Lq, C)

@@ -1,0 +1,170 @@
+"""Data layer tests: sampling math vs reference semantics, synthetic-video
+decode, dataset enumeration, loader batching."""
+
+import math
+import os
+import random
+
+import numpy as np
+import pytest
+
+from aicity_action_tpu.config import get_cfg
+from aicity_action_tpu.data import decoder, transform
+from aicity_action_tpu.data.datasets import build_dataset
+from aicity_action_tpu.data.loader import Loader, construct_loader
+
+cv2 = pytest.importorskip("cv2")
+
+
+# --------------------------------------------------------------- sampling
+def test_temporal_sampling_matches_torch_linspace():
+    torch = pytest.importorskip("torch")
+    frames = np.arange(50 * 2).reshape(50, 2).astype(np.float32)
+    for start, end, n in [(0, 49, 16), (3.7, 40.2, 16), (0, 10, 16), (5, 5, 4)]:
+        idx_ref = torch.clamp(torch.linspace(start, end, n), 0, 49).long().numpy()
+        got = decoder.sample_indices(start, end, n, 50)
+        np.testing.assert_array_equal(got, idx_ref)
+
+
+def test_get_start_end_idx_uniform():
+    # video 300 frames, clip 64 frames, 10 views
+    for ci in range(10):
+        s, e = decoder.get_start_end_idx(300, 64, ci, 10)
+        assert s == (300 - 64) * ci / 10
+        assert e == s + 63
+    # use_offset center clip
+    s, e = decoder.get_start_end_idx(300, 64, 0, 1, use_offset=True)
+    assert s == math.floor((300 - 64) / 2)
+
+
+def test_clip_size_fps_renormalization():
+    # 16 frames x 4 stride at target 30fps from a 60fps video = 128 src frames
+    assert decoder.clip_size_in_frames(4, 16, 60.0, 30.0) == 128.0
+
+
+# ------------------------------------------------------------ transforms
+def test_uniform_crop_positions():
+    frames = np.arange(1 * 8 * 16 * 1).reshape(1, 8, 16, 1).astype(np.uint8)
+    left = transform.uniform_crop(frames, 8, 0)
+    center = transform.uniform_crop(frames, 8, 1)
+    right = transform.uniform_crop(frames, 8, 2)
+    np.testing.assert_array_equal(left, frames[:, :, 0:8])
+    np.testing.assert_array_equal(center, frames[:, :, 4:12])
+    np.testing.assert_array_equal(right, frames[:, :, 8:16])
+
+
+def test_tensor_normalize():
+    frames = np.full((2, 4, 4, 3), 255, np.uint8)
+    out = transform.tensor_normalize(frames, [0.45] * 3, [0.225] * 3)
+    np.testing.assert_allclose(out, (1.0 - 0.45) / 0.225, rtol=1e-6)
+
+
+def test_pack_pathway_slowfast():
+    frames = np.arange(32)[:, None, None, None] * np.ones((32, 2, 2, 3))
+    slow, fast = transform.pack_pathway_output(frames, 2, alpha=4)
+    assert fast.shape[0] == 32 and slow.shape[0] == 8
+    # linspace endpoints included (reference utils.py:75-108)
+    idx = np.linspace(0, 31, 8).astype(np.int64)
+    np.testing.assert_array_equal(slow[:, 0, 0, 0], idx.astype(np.float64))
+
+
+# ------------------------------------------------- synthetic video fixture
+def _write_video(path, num_frames=60, fps=30, size=(64, 48)):
+    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+    w = cv2.VideoWriter(path, fourcc, fps, size)
+    assert w.isOpened()
+    for i in range(num_frames):
+        frame = np.full((size[1], size[0], 3), i % 256, np.uint8)
+        w.write(frame)
+    w.release()
+
+
+@pytest.fixture(scope="module")
+def video_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("videos")
+    for i in range(4):
+        _write_video(str(d / f"v{i}.mp4"), num_frames=60 + 10 * i)
+    for split in ("train", "val", "test"):
+        with open(d / f"{split}.csv", "w") as f:
+            for i in range(4):
+                f.write(f"v{i}.mp4 {i % 3}\n")
+    return str(d)
+
+
+def test_cv2_decode_clip(video_dir):
+    frames = decoder.decode(
+        os.path.join(video_dir, "v0.mp4"),
+        sampling_rate=2, num_frames=8, clip_idx=0, num_clips=3,
+        target_fps=30, backend="cv2",
+    )
+    assert frames.shape == (8, 48, 64, 3)
+    # frame values encode the frame index -> verify monotonic sampling
+    vals = frames[:, 0, 0, 0].astype(int)
+    assert all(b >= a for a, b in zip(vals, vals[1:]))
+
+
+def _mini_cfg(video_dir):
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = video_dir
+    cfg.DATA.PATH_PREFIX = video_dir
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TRAIN_JITTER_SCALES = [48, 56]
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.MODEL.ARCH = "mvit"
+    cfg.TRAIN.DATASET = "aicity"
+    cfg.TEST.DATASET = "aicity"
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 2
+    cfg.TEST.NUM_SPATIAL_CROPS = 3
+    cfg.TRAIN.BATCH_SIZE = 4
+    cfg.TEST.BATCH_SIZE = 6
+    cfg.DATA_LOADER.NUM_WORKERS = 2
+    return cfg
+
+
+def test_dataset_test_replication(video_dir):
+    cfg = _mini_cfg(video_dir)
+    ds = build_dataset("aicity", cfg, "test")
+    assert len(ds) == 4 * 2 * 3
+    assert ds.num_videos == 4
+    inputs, label, index, meta = ds[0]
+    assert inputs[0].shape == (4, 32, 32, 3)
+    assert inputs[0].dtype == np.float32
+
+
+def test_dataset_train_item(video_dir):
+    cfg = _mini_cfg(video_dir)
+    ds = build_dataset("aicity", cfg, "train")
+    assert len(ds) == 4
+    inputs, label, index, _ = ds[1]
+    assert inputs[0].shape == (4, 32, 32, 3)
+    assert label == 1
+
+
+def test_loader_batching_and_epoch_shuffle(video_dir):
+    cfg = _mini_cfg(video_dir)
+    loader = construct_loader(cfg, "train")
+    batches = list(loader)
+    assert len(batches) == 1  # 4 videos / batch 4, drop_last
+    b = batches[0]
+    assert b["inputs"][0].shape == (4, 4, 32, 32, 3)
+    assert b["labels"].shape == (4,)
+
+    order1 = [tuple(b["index"]) for b in loader]
+    loader.set_epoch(1)
+    order2 = [tuple(b["index"]) for b in loader]
+    assert order1 != order2  # epoch reseeds the shuffle
+
+
+def test_loader_host_sharding(video_dir):
+    cfg = _mini_cfg(video_dir)
+    ds = build_dataset("aicity", cfg, "test")
+    l0 = Loader(ds, 4, shuffle=False, drop_last=False, num_workers=1,
+                shard_id=0, num_shards=2)
+    l1 = Loader(ds, 4, shuffle=False, drop_last=False, num_workers=1,
+                shard_id=1, num_shards=2)
+    i0 = np.concatenate([b["index"] for b in l0])
+    i1 = np.concatenate([b["index"] for b in l1])
+    assert len(i0) == len(i1) == len(ds) // 2
+    assert set(i0) | set(i1) == set(range(len(ds)))

@@ -1,0 +1,70 @@
+"""Flash attention kernel parity (interpreter mode on CPU) and VJP checks."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aicity_action_tpu.ops.pallas import flash_attention as fa
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    fa.INTERPRET = True
+    yield
+    fa.INTERPRET = False
+
+
+def _ref(q, k, v, scale):
+    s = jnp.einsum("gqd,gkd->gqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("gqk,gkd->gqd", p, v.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("G,Lq,Lk,d", [
+    (2, 128, 64, 96),     # multiple k chunks
+    (3, 392, 392, 96),    # MViT-like: 392 = 8*7*7
+    (1, 256, 98, 32),     # odd-ish Lk
+])
+def test_forward_parity(G, Lq, Lk, d):
+    rs = np.random.RandomState(0)
+    q = jnp.asarray(rs.randn(G, Lq, d), jnp.float32)
+    k = jnp.asarray(rs.randn(G, Lk, d), jnp.float32)
+    v = jnp.asarray(rs.randn(G, Lk, d), jnp.float32)
+    scale = d ** -0.5
+    out = fa.flash_attention(q, k, v, scale)
+    ref = _ref(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_supported_predicate():
+    assert fa.flash_attention_supported(100352, 1568, 96)
+    assert fa.flash_attention_supported(25088, 6272, 96)
+    assert fa.flash_attention_supported(1568, 6272, 96)
+    assert fa.flash_attention_supported(25088, 392, 96)
+    # prime length: no tile divides
+    assert not fa.flash_attention_supported(1009, 392, 96)
+
+
+def test_vjp_matches_reference():
+    rs = np.random.RandomState(1)
+    G, Lq, Lk, d = 2, 64, 32, 16
+    q = jnp.asarray(rs.randn(G, Lq, d), jnp.float32)
+    k = jnp.asarray(rs.randn(G, Lk, d), jnp.float32)
+    v = jnp.asarray(rs.randn(G, Lk, d), jnp.float32)
+    scale = d ** -0.5
+
+    def f_flash(q, k, v):
+        return fa.flash_attention(q, k, v, scale).sum()
+
+    def f_ref(q, k, v):
+        return _ref(q, k, v, scale).sum()
+
+    g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
