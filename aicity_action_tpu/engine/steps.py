@@ -59,6 +59,9 @@ def make_train_step(
     this flag only matters for losses with cross-sample terms (handled by the
     contrastive step separately).
     """
+    if mixup_fn is not None and loss_name == "cross_entropy":
+        # mixup produces soft targets; plain CE can't consume them
+        loss_name = "soft_cross_entropy"
     loss_func = loss_lib.get_loss_func(loss_name)
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):

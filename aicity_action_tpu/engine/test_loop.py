@@ -1,0 +1,93 @@
+"""Multi-view test engine (reference: tools/test_net.py).
+
+Each video is scored ``NUM_ENSEMBLE_VIEWS × NUM_SPATIAL_CROPS`` times; view
+scores are ensembled per video by the TestMeter (sum/max). Batches shard
+over the mesh's data axis; predictions return to host for the (tiny)
+scatter-add bookkeeping. Multi-host runs gather (preds, labels, index) via
+process_allgather (replaces the NCCL all_gather at test_net.py:119-122).
+"""
+
+from __future__ import annotations
+
+import pprint
+
+import jax
+import numpy as np
+
+from ..data.loader import construct_loader
+from ..models.build import build_model
+from ..parallel.mesh import (
+    batch_sharding,
+    init_distributed,
+    make_mesh,
+    process_allgather,
+    replicated,
+)
+from ..utils import checkpoint as cu
+from ..utils.logging import get_logger, setup_logging
+from ..utils.meters import TestMeter
+from .steps import TrainState, make_eval_step
+from .train_loop import _pad_batch
+
+logger = get_logger(__name__)
+
+
+def test(cfg):
+    """Test entry (reference: test_net.py:173-248)."""
+    init_distributed(cfg)
+    setup_logging(cfg.OUTPUT_DIR)
+    np.random.seed(cfg.RNG_SEED)
+    if cfg.LOG_CFG and not cfg.TEST.NO_LOG_CONFIG:
+        logger.info("Test with config:")
+        logger.info(pprint.pformat(cfg.to_dict()))
+
+    mesh = make_mesh(cfg)
+    module, params = build_model(cfg)
+
+    import optax
+
+    state = TrainState.create(params, optax.identity())
+    state = cu.load_test_checkpoint(cfg, state)
+
+    loader = construct_loader(cfg, "test")
+    dataset = loader.dataset
+    num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+    assert len(dataset) % num_clips == 0
+
+    meter = TestMeter(
+        num_videos=dataset.num_videos,
+        num_clips=num_clips,
+        num_cls=cfg.MODEL.NUM_CLASSES,
+        multi_label=cfg.DATA.MULTI_LABEL,
+        ensemble_method=cfg.DATA.ENSEMBLE_METHOD,
+    )
+
+    jitted_eval = jax.jit(make_eval_step(module))
+    b_sh = batch_sharding(mesh)
+    state = jax.device_put(state, replicated(mesh))
+
+    per_host_batch = loader.batch_size
+    with mesh:
+        for batch in loader:
+            batch, n_valid = _pad_batch(batch, per_host_batch)
+            dev_batch = {
+                "inputs": [jax.device_put(x, b_sh) for x in batch["inputs"]],
+            }
+            preds = jitted_eval(state.params, dev_batch)
+            preds_np = np.asarray(jax.device_get(preds), np.float32)[:n_valid]
+            labels = batch["labels"][:n_valid]
+            index = batch["index"][:n_valid]
+            if cfg.NUM_SHARDS > 1:
+                preds_np = np.concatenate(process_allgather(preds_np))
+                labels = np.concatenate(process_allgather(labels))
+                index = np.concatenate(process_allgather(index))
+            meter.update_stats(preds_np, labels, index)
+
+    stats = meter.finalize_metrics()
+    if cfg.TEST.SAVE_RESULTS_PATH:
+        import pickle
+
+        with open(cfg.TEST.SAVE_RESULTS_PATH, "wb") as f:
+            pickle.dump([meter.video_preds, meter.video_labels], f)
+        logger.info("Saved predictions to %s", cfg.TEST.SAVE_RESULTS_PATH)
+    return stats

@@ -48,8 +48,10 @@ def build_model(cfg, rng: jax.Array | None = None):
         rng = jax.random.PRNGKey(cfg.RNG_SEED)
     # run the (eager) initializers on host CPU — tiny per-op dispatches over
     # the device tunnel would dominate otherwise — then transfer once.
+    from ..ops.pallas import flash_attention as fa
+
     cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
+    with jax.default_device(cpu), fa.disabled():
         variables = module.lazy_init({"params": rng}, example_input)
     params = variables["params"]
     if jax.default_backend() != "cpu":

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.pooling import attention_pool
+from ..ops.pallas import flash_attention as fa
 from ..ops.pallas.flash_attention import (
     flash_attention,
     flash_attention_supported,
@@ -308,6 +309,7 @@ class MultiScaleAttention(nn.Module):
         Lq, Lk = q.shape[2], k.shape[2]
         if (
             self.use_flash
+            and not fa.is_disabled()
             and not self.has_cls
             and jax.default_backend() == "tpu"
             and flash_attention_supported(Lq, Lk, d)

@@ -77,6 +77,27 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, k_chunk: int):
 # flipped by tests to run the kernel through the Pallas interpreter on CPU
 INTERPRET = False
 
+# trace-time escape hatch: model init (flax lazy_init) lowers the forward on
+# the host CPU where Pallas can't lower; builders disable flash around init.
+_DISABLED = False
+
+
+class disabled:
+    """Context manager: force the XLA attention path at trace time."""
+
+    def __enter__(self):
+        global _DISABLED
+        self._prev = _DISABLED
+        _DISABLED = True
+
+    def __exit__(self, *exc):
+        global _DISABLED
+        _DISABLED = self._prev
+
+
+def is_disabled() -> bool:
+    return _DISABLED
+
 
 def _flash_attention_fwd_impl(q, k, v, scale, q_tile, k_chunk):
     G, Lq, d = q.shape

@@ -1,0 +1,124 @@
+"""End-to-end engine tests: train a tiny MViT on synthetic videos over the
+8-device CPU mesh, checkpoint, auto-resume, then run the multi-view test
+engine."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from aicity_action_tpu.config import get_cfg, assert_and_infer_cfg
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _write_video(path, num_frames, fps=30, size=(64, 48)):
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, size)
+    assert w.isOpened()
+    rs = np.random.RandomState(hash(path) % 2**31)
+    for i in range(num_frames):
+        w.write(rs.randint(0, 255, (size[1], size[0], 3), np.uint8))
+    w.release()
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("e2e")
+    vdir = d / "videos"
+    vdir.mkdir()
+    for i in range(8):
+        _write_video(str(vdir / f"v{i}.mp4"), 40 + 4 * i)
+    for split in ("train", "val", "test"):
+        with open(vdir / f"{split}.csv", "w") as f:
+            for i in range(8):
+                f.write(f"v{i}.mp4 {i % 3}\n")
+    return d
+
+
+def _tiny_cfg(workdir):
+    cfg = get_cfg()
+    cfg.OUTPUT_DIR = str(workdir / "out")
+    cfg.DATA.PATH_TO_DATA_DIR = str(workdir / "videos")
+    cfg.DATA.PATH_PREFIX = str(workdir / "videos")
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TRAIN_JITTER_SCALES = [40, 48]
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.MODEL.MODEL_NAME = "MViT"
+    cfg.MODEL.ARCH = "mvit"
+    cfg.MODEL.NUM_CLASSES = 3
+    cfg.MODEL.LOSS_FUNC = "cross_entropy"
+    cfg.MODEL.DROPOUT_RATE = 0.1
+    m = cfg.MVIT
+    m.EMBED_DIM = 16
+    m.DEPTH = 2
+    m.PATCH_KERNEL = (3, 7, 7)
+    m.PATCH_STRIDE = (2, 4, 4)
+    m.PATCH_PADDING = (1, 3, 3)
+    m.DIM_MUL = [[1, 2.0]]
+    m.HEAD_MUL = [[1, 2.0]]
+    m.POOL_KVQ_KERNEL = [3, 3, 3]
+    m.POOL_KV_STRIDE_ADAPTIVE = [1, 2, 2]
+    m.POOL_Q_STRIDE = [[1, 1, 2, 2]]
+    m.CLS_EMBED_ON = False
+    m.SEP_POS_EMBED = True
+    m.CHANNEL_EXPAND_FRONT = True
+    m.Q_POOL_ALL = True
+    m.Q_POOL_RESIDUAL = True
+    m.DROPPATH_RATE = 0.1
+    cfg.TRAIN.DATASET = "aicity"
+    cfg.TEST.DATASET = "aicity"
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.TEST.BATCH_SIZE = 8
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 2
+    cfg.TEST.NUM_SPATIAL_CROPS = 1
+    cfg.SOLVER.MAX_EPOCH = 2
+    cfg.SOLVER.BASE_LR = 0.001
+    cfg.SOLVER.WARMUP_EPOCHS = 0.0
+    cfg.SOLVER.COSINE_END_LR = 0.0
+    cfg.SOLVER.OPTIMIZING_METHOD = "adamw"
+    cfg.SOLVER.ZERO_WD_1D_PARAM = True
+    cfg.SOLVER.CLIP_GRAD_L2NORM = 1.0
+    cfg.TRAIN.EVAL_PERIOD = 2
+    cfg.TRAIN.CHECKPOINT_PERIOD = 1
+    cfg.DATA_LOADER.NUM_WORKERS = 2
+    cfg.LOG_PERIOD = 1
+    cfg.MIXUP.ENABLE = True
+    return assert_and_infer_cfg(cfg)
+
+
+def test_train_checkpoint_resume_and_test(workdir):
+    from aicity_action_tpu.engine.train_loop import train
+    from aicity_action_tpu.engine.test_loop import test
+
+    cfg = _tiny_cfg(workdir)
+    state = train(cfg)
+    assert int(np.asarray(state.step)) == 2  # 8 videos / batch 8 = 1 it/ep
+
+    ckpts = glob.glob(os.path.join(cfg.OUTPUT_DIR, "checkpoints",
+                                   "checkpoint_epoch_*"))
+    assert len(ckpts) == 2
+
+    # auto-resume: raising MAX_EPOCH continues from epoch 2
+    cfg2 = _tiny_cfg(workdir)
+    cfg2.SOLVER.MAX_EPOCH = 3
+    state2 = train(cfg2)
+    assert int(np.asarray(state2.step)) == 3
+
+    stats = test(cfg2)
+    assert "top1_acc" in stats
+    assert 0.0 <= stats["top1_acc"] <= 100.0
+
+
+def test_test_engine_ensembles_views(workdir):
+    """All views of one video must land in the same ensemble slot."""
+    from aicity_action_tpu.engine.test_loop import test
+
+    cfg = _tiny_cfg(workdir)
+    cfg.TRAIN.ENABLE = False
+    cfg.TRAIN.AUTO_RESUME = False
+    cfg.OUTPUT_DIR = str(workdir / "out_fresh")
+    stats = test(cfg)
+    assert "top1_acc" in stats
