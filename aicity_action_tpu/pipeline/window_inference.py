@@ -1,0 +1,217 @@
+"""Sliding-window temporal inference, TPU-batched.
+
+Re-designs the reference's window scorer
+(`scripts/module_wrapper.py` + `scripts/run_action_classification_temporal_inf.py`):
+
+- :class:`WindowDataset`: windows of ``frame_length × frame_stride`` source
+  frames every ``proposal_stride`` frames, fps-renormalized when the video
+  is not at TARGET_FPS (module_wrapper.py:213-232); per-window uniform
+  clamp-linspace frame sampling (the same math as decoder.temporal_sampling,
+  module_wrapper.py:384-397); ROI crop → resize → normalize.
+- :class:`WindowScorer`: windows are embarrassingly parallel — they are
+  batched to a fixed size (padded), sharded over the mesh's data axis, and
+  scored by the jitted forward. Decode runs in host threads, overlapped with
+  device compute through a prefetching loader.
+
+Output per video: sorted list of ``(t0, t1, scores[num_class])`` — the same
+pickle payload the reference writes (run_action_...py:110-130).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Optional, Sequence
+
+import cv2
+import numpy as np
+
+from ..data.decoder import cv2_video_meta, sample_indices
+from ..data.loader import Loader
+from ..data.transform import pack_pathway_output
+
+try:
+    import decord  # type: ignore
+except ImportError:
+    decord = None
+
+
+class WindowDataset:
+    """Per-video sliding windows → normalized clips."""
+
+    def __init__(
+        self,
+        video_path: str,
+        *,
+        frame_length: int = 16,
+        frame_stride: int = 4,
+        proposal_stride: int = 16,
+        frame_size: int = 448,
+        target_fps: float = 30.0,
+        roi: tuple[float, float, float, float] = (0.0, 0.0, 1.0, 1.0),
+        mean: Sequence[float] = (0.45, 0.45, 0.45),
+        std: Sequence[float] = (0.225, 0.225, 0.225),
+        arch_pathways: int = 1,
+        slowfast_alpha: int = 4,
+        backend: str = "cv2",
+    ):
+        self.video_path = video_path
+        self.frame_length = frame_length
+        self.frame_size = frame_size
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.arch_pathways = arch_pathways
+        self.slowfast_alpha = slowfast_alpha
+        self.backend = backend if backend != "decord" or decord else "cv2"
+
+        if self.backend == "decord":
+            vr = decord.VideoReader(video_path, num_threads=0)
+            self.num_frames = len(vr)
+            self.fps = float(vr.get_avg_fps() or target_fps)
+            self._vr = None
+        else:
+            self.num_frames, self.fps = cv2_video_meta(video_path)
+
+        # fps renormalization of window length/stride (module_wrapper:213-232)
+        proposal_length = frame_length * frame_stride
+        if abs(self.fps - target_fps) > 2.0:
+            rate = self.fps / target_fps
+            proposal_length = int(rate * proposal_length)
+            proposal_stride = int(rate * proposal_stride)
+
+        self.windows = [
+            (t0, t0 + proposal_length)
+            for t0 in range(0, self.num_frames, proposal_stride)
+        ]
+        # relative ROI -> absolute pixels resolved lazily at first read
+        self.roi = roi
+        self._roi_px: Optional[tuple[int, int, int, int]] = None
+
+    def __len__(self):
+        return len(self.windows)
+
+    def _read(self, idxs: np.ndarray) -> np.ndarray:
+        if self.backend == "decord":
+            if self._vr is None:
+                self._vr = decord.VideoReader(self.video_path, num_threads=0)
+            return self._vr.get_batch(idxs).asnumpy()
+        cap = cv2.VideoCapture(self.video_path)
+        out = {}
+        need = sorted(set(int(i) for i in idxs))
+        i = 0
+        while need:
+            ok = cap.grab()
+            if not ok:
+                break
+            if i == need[0]:
+                ok, frame = cap.retrieve()
+                if not ok:
+                    break
+                out[i] = frame[:, :, ::-1]
+                need.pop(0)
+            i += 1
+        cap.release()
+        got = sorted(out)
+        assert got, f"decoded 0 frames from {self.video_path}"
+        return np.stack([
+            out[int(j)] if int(j) in out
+            else out[min(got, key=lambda k: abs(k - int(j)))]
+            for j in idxs
+        ])
+
+    def __getitem__(self, idx: int):
+        t0, t1 = self.windows[int(idx)]
+        frame_idxs = sample_indices(t0, t1, self.frame_length, self.num_frames)
+        frames = self._read(frame_idxs)  # [T, H, W, 3] uint8 RGB
+
+        if self._roi_px is None:
+            h, w = frames.shape[1:3]
+            x1, y1, x2, y2 = self.roi
+            self._roi_px = (
+                int(w * x1), int(h * y1), int(w * x2), int(h * y2)
+            )
+        x1, y1, x2, y2 = self._roi_px
+        frames = frames[:, y1:y2, x1:x2]
+
+        s = self.frame_size
+        resized = np.empty((frames.shape[0], s, s, 3), np.uint8)
+        for i in range(frames.shape[0]):
+            resized[i] = cv2.resize(frames[i], (s, s),
+                                    interpolation=cv2.INTER_LINEAR)
+        x = resized.astype(np.float32) / 255.0
+        x = (x - self.mean) / self.std
+
+        inputs = pack_pathway_output(x, self.arch_pathways, self.slowfast_alpha)
+        return inputs, t0, t1  # loader collates (inputs, label, index, meta)
+
+
+class _WindowItemAdapter:
+    """Adapts WindowDataset items to the Loader's (inputs, label, index, meta)
+    contract, carrying (t0, t1) through label/index."""
+
+    def __init__(self, ds: WindowDataset):
+        self.ds = ds
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, idx):
+        inputs, t0, t1 = self.ds[idx]
+        return inputs, np.asarray([t0, t1], np.int64), idx, {}
+
+
+class WindowScorer:
+    """Batched, sharded scoring of sliding windows on the mesh."""
+
+    def __init__(self, module, params, mesh, batch_size: int = 8,
+                 num_workers: int = 8):
+        import jax
+
+        from ..parallel.mesh import batch_sharding, replicated
+
+        self.mesh = mesh
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self._b_sh = batch_sharding(mesh)
+        self._params = jax.device_put(params, replicated(mesh))
+        self._fn = jax.jit(
+            lambda p, xs: module.apply({"params": p}, xs, train=False)
+        )
+        self._jax = jax
+
+    def score_video(self, dataset: WindowDataset) -> list:
+        """Returns sorted ``[(t0, t1, scores[num_class])]``."""
+        jax = self._jax
+        loader = Loader(
+            _WindowItemAdapter(dataset), self.batch_size,
+            shuffle=False, drop_last=False, num_workers=self.num_workers,
+        )
+        preds = []
+        with self.mesh:
+            for batch in loader:
+                n = batch["labels"].shape[0]
+                xs = batch["inputs"]
+                if n < self.batch_size:  # pad to the compiled shape
+                    pad = self.batch_size - n
+                    xs = [
+                        np.concatenate([x, np.repeat(x[-1:], pad, 0)])
+                        for x in xs
+                    ]
+                xs = [jax.device_put(x, self._b_sh) for x in xs]
+                out = np.asarray(
+                    jax.device_get(self._fn(self._params, xs)), np.float32
+                )[:n]
+                for b in range(n):
+                    t0, t1 = (int(v) for v in batch["labels"][b])
+                    preds.append((t0, t1, out[b]))
+        preds.sort(key=lambda x: x[0])
+        return preds
+
+
+def save_window_predictions(preds: list, path: str) -> None:
+    with open(path, "wb") as f:
+        pickle.dump(preds, f)
+
+
+def load_window_predictions(path: str) -> list:
+    with open(path, "rb") as f:
+        return pickle.load(f)

@@ -1,0 +1,201 @@
+"""Sliding-window pipeline integration: synthetic video → window scoring →
+aggregation → thresholds → chunks → submission, on the CPU mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+from aicity_action_tpu.config import get_cfg
+from aicity_action_tpu.pipeline import postprocess as pp
+from aicity_action_tpu.pipeline.anno import (
+    convert_annotations,
+    int2time,
+    make_user_splits,
+    normalize_file_name,
+    time2int,
+)
+from aicity_action_tpu.pipeline.window_inference import (
+    WindowDataset,
+    WindowScorer,
+    load_window_predictions,
+    save_window_predictions,
+)
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _write_video(path, num_frames=200, fps=30, size=(64, 48)):
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, size)
+    for i in range(num_frames):
+        w.write(np.full((size[1], size[0], 3), (i * 7) % 256, np.uint8))
+    w.release()
+
+
+@pytest.fixture(scope="module")
+def video(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pipe")
+    path = str(d / "view.mp4")
+    _write_video(path)
+    return path
+
+
+def test_window_dataset_enumeration(video):
+    ds = WindowDataset(video, frame_length=4, frame_stride=4,
+                       proposal_stride=16, frame_size=32)
+    # 200 frames, stride 16 -> ceil(200/16) = 13 windows of length 16
+    assert len(ds) == 13
+    assert ds.windows[0] == (0, 16)
+    assert ds.windows[1] == (16, 32)
+    inputs, t0, t1 = ds[0]
+    assert inputs[0].shape == (4, 32, 32, 3)
+    assert (t0, t1) == (0, 16)
+
+
+def test_window_dataset_fps_renormalization(tmp_path):
+    path = str(tmp_path / "fast.mp4")
+    _write_video(path, num_frames=120, fps=60)
+    ds = WindowDataset(path, frame_length=4, frame_stride=4,
+                       proposal_stride=16, frame_size=32, target_fps=30.0)
+    # 60fps video: window length 16 -> 32 source frames, stride 16 -> 32
+    assert ds.windows[0] == (0, 32)
+    assert ds.windows[1] == (32, 64)
+
+
+def test_window_scorer_end_to_end(video, tmp_path):
+    import jax
+
+    from aicity_action_tpu.models.build import build_model
+    from aicity_action_tpu.parallel.mesh import make_mesh
+
+    cfg = get_cfg()
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.INPUT_CHANNEL_NUM = [3]
+    cfg.MODEL.MODEL_NAME = "MViT"
+    cfg.MODEL.NUM_CLASSES = 5
+    m = cfg.MVIT
+    m.EMBED_DIM = 16
+    m.DEPTH = 2
+    m.PATCH_PADDING = (1, 3, 3)
+    m.DIM_MUL = [[1, 2.0]]
+    m.HEAD_MUL = [[1, 2.0]]
+    m.POOL_KVQ_KERNEL = [3, 3, 3]
+    m.POOL_KV_STRIDE_ADAPTIVE = [1, 2, 2]
+    m.POOL_Q_STRIDE = [[1, 1, 2, 2]]
+    m.CLS_EMBED_ON = False
+    m.SEP_POS_EMBED = True
+    m.CHANNEL_EXPAND_FRONT = True
+    m.Q_POOL_ALL = True
+    m.Q_POOL_RESIDUAL = True
+
+    mesh = make_mesh(cfg, devices=jax.devices()[:4])
+    module, params = build_model(cfg)
+    scorer = WindowScorer(module, params, mesh, batch_size=4, num_workers=2)
+
+    ds = WindowDataset(video, frame_length=4, frame_stride=4,
+                       proposal_stride=16, frame_size=32)
+    preds = scorer.score_video(ds)
+    assert len(preds) == len(ds)
+    assert preds[0][0] == 0 and preds[0][1] == 16
+    assert all(p[2].shape == (5,) for p in preds)
+    # eval head applies softmax -> scores sum to 1
+    np.testing.assert_allclose(preds[0][2].sum(), 1.0, rtol=1e-3)
+    # sorted by t0
+    t0s = [p[0] for p in preds]
+    assert t0s == sorted(t0s)
+
+    # round-trip the pickle + downstream aggregation
+    pkl = str(tmp_path / "view.pkl")
+    save_window_predictions(preds, pkl)
+    loaded = load_window_predictions(pkl)
+    per_frame = pp.aggregate_predictions(loaded, np.mean, 5)
+    assert per_frame.shape[1] == 5
+    np.testing.assert_allclose(per_frame.sum(axis=1), 1.0, rtol=1e-3)
+
+
+def test_full_postprocess_chain(tmp_path):
+    """Synthetic scores with a known action segment → F1 == 1."""
+    num_class = 4
+    rows = []
+    # action 1 active frames 300..600 (seconds 10..20)
+    for t0 in range(0, 900, 16):
+        s = np.full(num_class, 0.1, np.float32)
+        if 300 <= t0 < 600:
+            s[1] = 0.9
+        rows.append((t0, t0 + 64, s))
+    per_frame = pp.aggregate_predictions(rows, np.mean, num_class)
+    thresholds = {1: 0.5, 2: 0.5, 3: 0.5}
+    chunks = pp.chunks_for_video(per_frame, thresholds)
+    assert 1 in chunks and len(chunks[1]) == 1
+    t0_s, t1_s, _, _ = chunks[1][0]
+
+    anno = {"u0_1": [(f"{v}_u0_1", "u0", round(t0_s), round(t1_s), 1)
+                     for v in ("Dash", "Rear", "Right")]}
+    action_chunks = {f"{v}_u0_1": chunks for v in ("Dash", "Rear", "Right")}
+    f1 = pp.compute_f1(anno, [1, 2, 3], action_chunks)
+    # classes 2, 3 have no annotations -> skipped; class 1 matches -> TP
+    assert f1 == pytest.approx(1.0)
+    # an annotated class with no predicted chunks counts as FN
+    anno["u0_1"] += [(f"{v}_u0_1", "u0", 25, 28, 2)
+                     for v in ("Dash", "Rear", "Right")]
+    f1_with_miss = pp.compute_f1(anno, [1, 2, 3], action_chunks)
+    assert f1_with_miss == pytest.approx(1 / (1 + 0.5 * 1))
+
+    rows_sub = pp.merge_views_to_submission(
+        {"vid": [f"{v}_u0_1" for v in ("Dash", "Rear", "Right")]},
+        action_chunks, thresholds,
+    )
+    assert any(r[1] == 1 for r in rows_sub)
+    out = str(tmp_path / "sub.txt")
+    pp.write_submission(rows_sub, out)
+    assert os.path.exists(out)
+
+
+# ------------------------------------------------------------- annotation
+def test_time_conversions():
+    assert time2int("00:18") == 18
+    assert time2int("02:05") == 125
+    assert int2time(125) == "02:05.000"
+    assert int2time(65) == "01:05.000"
+
+
+def test_normalize_file_name():
+    assert normalize_file_name("Rightside_user_id_24491_1", "24491",
+                               "Rightside_window") == \
+        "Rightside_window_user_id_24491_NoAudio_1"
+    # user with capital + view fix
+    assert normalize_file_name("x_3", "24026", "Rightside_window") == \
+        "Right_side_window_User_id_24026_NoAudio_3"
+    # typo'd user id
+    assert normalize_file_name("x_2", "38508", "Rearview") == \
+        "Rear_view_User_id_38058_NoAudio_2"
+
+
+def test_convert_and_split(tmp_path):
+    raw = tmp_path / "raw.csv"
+    raw.write_text(
+        "header\n"
+        "1001,Dashboard_1001_1,Dashboard,x,00:00,00:10,3,b1\n"
+        "1001,Dashboard_1001_1,Dashboard,x,00:15,00:20,NA,b2\n"
+        "2002,Dashboard_2002_1,Dashboard,x,00:00,00:08,5,b1\n"
+    )
+    out_anno = tmp_path / "anno.csv"
+    rows = convert_annotations(
+        str(raw), lambda vf: 30.0, out_anno_file=str(out_anno),
+        clip_cmds_file=str(tmp_path / "cmds.sh"),
+    )
+    labels = dict(rows)
+    # gap 10-15 and tail 20-30 become empty(-2) for user 1001
+    assert any(v == -2 for v in labels.values())
+    assert any(v == -1 for v in labels.values())
+    assert any(v == 3 for v in labels.values())
+
+    dirs = make_user_splits(str(out_anno), str(tmp_path / "splits"), method=2)
+    assert len(dirs) == 2  # two users -> two leave-one-out splits
+    train = (tmp_path / "splits" / "splits_1" / "train.csv").read_text()
+    val = (tmp_path / "splits" / "splits_1" / "val.csv").read_text()
+    assert train and val
+    # NA/empty mapped to class 0
+    assert " 0\n" in (train + val)
