@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import ast
 import copy
+from collections.abc import Mapping
 from typing import Any
 
 import yaml
@@ -28,12 +29,12 @@ class CfgNode(dict):
 
     IMMUTABLE = "__immutable__"
 
-    def __init__(self, init_dict: dict | None = None):
+    def __init__(self, init_dict: Mapping | None = None):
         super().__init__()
         self.__dict__[CfgNode.IMMUTABLE] = False
         if init_dict:
             for k, v in init_dict.items():
-                self[k] = CfgNode(v) if isinstance(v, dict) else v
+                self[k] = CfgNode(v) if isinstance(v, Mapping) else v
 
     # -- attribute protocol -------------------------------------------------
     def __getattr__(self, name: str) -> Any:

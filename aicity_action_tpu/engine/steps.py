@@ -32,13 +32,17 @@ class TrainState(flax.struct.PyTreeNode):
     step: jax.Array
     params: Any
     opt_state: Any
+    # non-param variable collections (BatchNorm running stats etc.); the
+    # reference calls this "model_state" in its checkpoints
+    model_state: Any = flax.struct.field(default_factory=dict)
 
     @classmethod
-    def create(cls, params, tx):
+    def create(cls, params, tx, model_state=None):
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=tx.init(params),
+            model_state=model_state or {},
         )
 
 
@@ -74,26 +78,30 @@ def make_train_step(
             inputs, labels = mixup_fn(mixup_rng, inputs, labels)
 
         def compute_loss(params):
-            preds = module.apply(
-                {"params": params},
+            preds, new_model_state = module.apply(
+                {"params": params, **state.model_state},
                 inputs,
                 train=True,
                 rngs={"dropout": dropout_rng, "droppath": droppath_rng},
+                mutable=["batch_stats"],
             )
             loss = loss_func(preds, labels)
-            return loss, preds
+            return loss, (preds, new_model_state)
 
-        (loss, preds), grads = jax.value_and_grad(
+        (loss, (preds, new_model_state)), grads = jax.value_and_grad(
             compute_loss, has_aux=True
         )(state.params)
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
+        model_state = dict(state.model_state)
+        model_state.update(new_model_state)
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             opt_state=new_opt_state,
+            model_state=model_state,
         )
         metrics = {
             "loss": loss,
@@ -106,8 +114,9 @@ def make_train_step(
 
 
 def make_eval_step(module) -> Callable:
-    def eval_step(params, batch: dict):
-        return module.apply({"params": params}, batch["inputs"], train=False)
+    def eval_step(params, batch: dict, model_state=None):
+        variables = {"params": params, **(model_state or {})}
+        return module.apply(variables, batch["inputs"], train=False)
 
     return eval_step
 

@@ -15,7 +15,7 @@ import jax
 import numpy as np
 
 from ..data.loader import construct_loader
-from ..models.build import build_model
+from ..models.build import build_model_with_state
 from ..parallel.mesh import (
     batch_sharding,
     init_distributed,
@@ -42,11 +42,11 @@ def test(cfg):
         logger.info(pprint.pformat(cfg.to_dict()))
 
     mesh = make_mesh(cfg)
-    module, params = build_model(cfg)
+    module, params, model_state = build_model_with_state(cfg)
 
     import optax
 
-    state = TrainState.create(params, optax.identity())
+    state = TrainState.create(params, optax.identity(), model_state)
     state = cu.load_test_checkpoint(cfg, state)
 
     loader = construct_loader(cfg, "test")
@@ -73,7 +73,7 @@ def test(cfg):
             dev_batch = {
                 "inputs": [jax.device_put(x, b_sh) for x in batch["inputs"]],
             }
-            preds = jitted_eval(state.params, dev_batch)
+            preds = jitted_eval(state.params, dev_batch, state.model_state)
             preds_np = np.asarray(jax.device_get(preds), np.float32)[:n_valid]
             labels = batch["labels"][:n_valid]
             index = batch["index"][:n_valid]

@@ -17,7 +17,7 @@ import numpy as np
 from ..config.defaults import assert_and_infer_cfg  # noqa: F401 (re-export)
 from ..data.loader import construct_loader, shuffle_dataset
 from ..data.mixup import build_mixup_from_cfg
-from ..models.build import build_model
+from ..models.build import build_model_with_state
 from ..parallel.mesh import batch_sharding, init_distributed, make_mesh, replicated
 from ..solver.optimizer import construct_optimizer
 from ..utils import checkpoint as cu
@@ -68,14 +68,14 @@ def train(cfg):
         logger.info(pprint.pformat(cfg.to_dict()))
 
     mesh = make_mesh(cfg)
-    module, params = build_model(cfg)
+    module, params, model_state = build_model_with_state(cfg)
 
     train_loader = construct_loader(cfg, "train")
     val_loader = construct_loader(cfg, "val")
     steps_per_epoch = max(len(train_loader), 1)
 
     tx, lr_schedule = construct_optimizer(cfg, params, steps_per_epoch)
-    state = TrainState.create(params, tx)
+    state = TrainState.create(params, tx, model_state)
     state, start_epoch = cu.load_train_checkpoint(cfg, state)
 
     mixup_fn = build_mixup_from_cfg(cfg)
@@ -167,7 +167,7 @@ def eval_epoch(cfg, mesh, jitted_eval, state, val_loader, val_meter,
             dev_batch = {
                 "inputs": [jax.device_put(x, b_sh) for x in batch["inputs"]],
             }
-            preds = jitted_eval(state.params, dev_batch)
+            preds = jitted_eval(state.params, dev_batch, state.model_state)
             preds_np = np.asarray(jax.device_get(preds), np.float32)[:n_valid]
             labels = batch["labels"][:n_valid]
             if labels.ndim == 1:

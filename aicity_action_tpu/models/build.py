@@ -34,26 +34,44 @@ def build_module(cfg):
 
 
 def build_model(cfg, rng: jax.Array | None = None):
-    """Build module and initialize its parameters.
+    """Build module and initialize parameters. Returns ``(module, params)``.
 
-    Uses flax ``lazy_init`` — parameter initializers run concretely but the
+    For models with extra variable collections (BatchNorm running stats) use
+    :func:`build_model_with_state`.
+    """
+    module, variables = _init_variables(cfg, rng)
+    return module, variables["params"]
+
+
+def build_model_with_state(cfg, rng: jax.Array | None = None):
+    """Returns ``(module, params, model_state)`` where model_state holds the
+    non-param collections (e.g. ``batch_stats`` -- the reference checkpoint's
+    BN running statistics)."""
+    module, variables = _init_variables(cfg, rng)
+    variables = dict(variables)
+    params = variables.pop("params")
+    return module, params, variables
+
+
+def _init_variables(cfg, rng):
+    """flax ``lazy_init``: parameter initializers run concretely but the
     forward computation is traced abstractly, so init never executes the
     (expensive-to-compile) Pallas kernels or a full forward pass.
+
+    Initializers run on host CPU -- tiny per-op dispatches over the device
+    tunnel would dominate otherwise -- then transfer once.
     """
     from ..utils.env import setup_environment
+    from ..ops.pallas import flash_attention as fa
 
     setup_environment()
     module, example_input = build_module(cfg)
     if rng is None:
         rng = jax.random.PRNGKey(cfg.RNG_SEED)
-    # run the (eager) initializers on host CPU — tiny per-op dispatches over
-    # the device tunnel would dominate otherwise — then transfer once.
-    from ..ops.pallas import flash_attention as fa
-
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu), fa.disabled():
         variables = module.lazy_init({"params": rng}, example_input)
-    params = variables["params"]
+    variables = dict(variables)
     if jax.default_backend() != "cpu":
-        params = jax.device_put(params, jax.devices()[0])
-    return module, params
+        variables = jax.device_put(variables, jax.devices()[0])
+    return module, variables

@@ -25,3 +25,43 @@ def build_mvit(cfg):
     )
     example = x if spec.direct_input else [x]
     return module, example
+
+
+def _conv_example(cfg, dtype, pathways):
+    T = cfg.DATA.NUM_FRAMES
+    S = cfg.DATA.TRAIN_CROP_SIZE
+    C = cfg.DATA.INPUT_CHANNEL_NUM
+    if pathways == 1:
+        return [jnp.zeros((1, T, S, S, C[0]), dtype)]
+    alpha = cfg.SLOWFAST.ALPHA
+    return [
+        jnp.zeros((1, T // alpha, S, S, C[0]), dtype),
+        jnp.zeros((1, T, S, S, C[1] if len(C) > 1 else C[0]), dtype),
+    ]
+
+
+@MODEL_REGISTRY.register(name="ResNet")
+def build_resnet(cfg):
+    from .resnet_models import ResNet
+
+    dtype, _ = compute_dtypes(cfg)
+    module = ResNet(cfg_frozen=cfg.to_dict(), dtype=dtype)
+    return module, _conv_example(cfg, dtype, 1)
+
+
+@MODEL_REGISTRY.register(name="SlowFast")
+def build_slowfast(cfg):
+    from .resnet_models import SlowFast
+
+    dtype, _ = compute_dtypes(cfg)
+    module = SlowFast(cfg_frozen=cfg.to_dict(), dtype=dtype)
+    return module, _conv_example(cfg, dtype, 2)
+
+
+@MODEL_REGISTRY.register(name="X3D")
+def build_x3d(cfg):
+    from .resnet_models import X3D
+
+    dtype, _ = compute_dtypes(cfg)
+    module = X3D(cfg_frozen=cfg.to_dict(), dtype=dtype)
+    return module, _conv_example(cfg, dtype, 1)

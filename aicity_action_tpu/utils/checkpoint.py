@@ -81,6 +81,7 @@ def save_checkpoint(output_dir: str, state, epoch: int, cfg=None) -> str:
         "step": np.asarray(state.step),
         "params": jax.tree.map(np.asarray, state.params),
         "opt_state": jax.tree.map(np.asarray, state.opt_state),
+        "model_state": jax.tree.map(np.asarray, state.model_state),
     }
     if cfg is not None:
         with open(os.path.join(checkpoint_dir(output_dir),
@@ -128,8 +129,11 @@ def load_checkpoint(
 
     payload = _checkpointer().restore(path)
     params = _like(state.params, payload["params"])
+    model_state = state.model_state
+    if payload.get("model_state"):
+        model_state = _restore_opt(state.model_state, payload["model_state"])
     if epoch_reset:
-        return state.replace(params=params), 0
+        return state.replace(params=params, model_state=model_state), 0
     opt_state = jax.tree.map(
         lambda a, b: np.asarray(b).astype(a.dtype) if hasattr(a, "dtype") else b,
         state.opt_state,
@@ -138,6 +142,7 @@ def load_checkpoint(
     new_state = state.replace(
         params=params,
         opt_state=opt_state,
+        model_state=model_state,
         step=np.asarray(payload["step"]),
     )
     return new_state, int(payload["epoch"])

@@ -35,5 +35,42 @@ def load_reference_attention():
     return attention
 
 
+def load_reference_convnets():
+    """Returns (resnet_helper, stem_helper) reference modules as oracles."""
+    if "slowfast.models.resnet_helper" in sys.modules:
+        return (sys.modules["slowfast.models.resnet_helper"],
+                sys.modules["slowfast.models.stem_helper"])
+    load_reference_attention()  # sets up package stubs + common
+    operators = _load("slowfast.models.operators", f"{REF}/operators.py")
+    sys.modules["slowfast.models"].operators = operators
+    nonlocal_helper = _load(
+        "slowfast.models.nonlocal_helper", f"{REF}/nonlocal_helper.py")
+    sys.modules["slowfast.models"].nonlocal_helper = nonlocal_helper
+    resnet_helper = _load(
+        "slowfast.models.resnet_helper", f"{REF}/resnet_helper.py")
+    stem_helper = _load("slowfast.models.stem_helper", f"{REF}/stem_helper.py")
+    return resnet_helper, stem_helper
+
+
+def load_reference_heads():
+    """Reference head_helper with a stubbed detectron2.ROIAlign import."""
+    if "slowfast.models.head_helper" in sys.modules:
+        return sys.modules["slowfast.models.head_helper"]
+    load_reference_attention()
+    if "detectron2" not in sys.modules:
+        det = types.ModuleType("detectron2")
+        layers = types.ModuleType("detectron2.layers")
+
+        class _ROIAlignStub:  # only the non-ROI heads are used as oracles
+            def __init__(self, *a, **k):
+                raise NotImplementedError("ROIAlign stub")
+
+        layers.ROIAlign = _ROIAlignStub
+        det.layers = layers
+        sys.modules["detectron2"] = det
+        sys.modules["detectron2.layers"] = layers
+    return _load("slowfast.models.head_helper", f"{REF}/head_helper.py")
+
+
 def torch_to_numpy(t):
     return t.detach().cpu().numpy()
