@@ -204,6 +204,46 @@ class Mit(VideoCsvDataset):
     pass
 
 
+@DATASET_REGISTRY.register(name="Web_video_text")
+class WebVideoText(VideoCsvDataset):
+    """Video+caption pairs for contrastive training.
+
+    Reference (`web_video_text.py:117-180`): ``{mode}_tokenized.csv`` rows of
+    ``path<sep>label<sep>comma-separated-BPE-ids``; token ids are padded to
+    ``CONTRA.CONTEXT_LENGTH``. Items return the tokens in the meta dict.
+    """
+
+    def _csv_name(self) -> str:
+        return f"{self.mode}_tokenized.csv"
+
+    def _construct(self):
+        cfg = self.cfg
+        path = os.path.join(cfg.DATA.PATH_TO_DATA_DIR, self._csv_name())
+        assert os.path.exists(path), f"{path} not found"
+        self._tokens: list[np.ndarray] = []
+        with open(path) as f:
+            rows = [ln for ln in f.read().splitlines() if ln]
+        for row in rows:
+            video_path, label, token_str = row.split(
+                cfg.DATA.PATH_LABEL_SEPARATOR)
+            ids = [int(t) for t in token_str.split(",") if t]
+            padded = np.zeros(cfg.CONTRA.CONTEXT_LENGTH, np.int64)
+            padded[: len(ids)] = ids[: cfg.CONTRA.CONTEXT_LENGTH]
+            for idx in range(self._num_clips):
+                self._path_to_videos.append(
+                    os.path.join(cfg.DATA.PATH_PREFIX, video_path))
+                self._labels.append(int(label))
+                self._tokens.append(padded)
+                self._spatial_temporal_idx.append(idx)
+        assert self._path_to_videos, f"empty dataset from {path}"
+
+    def __getitem__(self, index: int):
+        inputs, label, index, meta = super().__getitem__(index)
+        meta = dict(meta)
+        meta["tokens"] = self._tokens[index]
+        return inputs, label, index, meta
+
+
 def build_dataset(name: str, cfg, split: str):
     """Reference: datasets/build.py:15-31 — name is capitalized to class."""
     return DATASET_REGISTRY.get(name.capitalize())(cfg, split)

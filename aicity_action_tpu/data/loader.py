@@ -33,7 +33,11 @@ def _collate(items):
     ]
     labels = np.stack([np.asarray(it[1]) for it in items])
     index = np.asarray([it[2] for it in items], np.int64)
-    return {"inputs": inputs, "labels": labels, "index": index}
+    batch = {"inputs": inputs, "labels": labels, "index": index}
+    meta = items[0][3] if len(items[0]) > 3 else {}
+    for key in meta:
+        batch[key] = np.stack([np.asarray(it[3][key]) for it in items])
+    return batch
 
 
 class Loader:

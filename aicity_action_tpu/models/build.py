@@ -70,7 +70,12 @@ def _init_variables(cfg, rng):
         rng = jax.random.PRNGKey(cfg.RNG_SEED)
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu), fa.disabled():
-        variables = module.lazy_init({"params": rng}, example_input)
+        # convention: a tuple example means multiple positional args
+        # (e.g. ActionCLIP's (frames, tokens)); a list is one pathway arg
+        if isinstance(example_input, tuple):
+            variables = module.lazy_init({"params": rng}, *example_input)
+        else:
+            variables = module.lazy_init({"params": rng}, example_input)
     variables = dict(variables)
     if jax.default_backend() != "cpu":
         variables = jax.device_put(variables, jax.devices()[0])

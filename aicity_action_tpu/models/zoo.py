@@ -65,3 +65,10 @@ def build_x3d(cfg):
     dtype, _ = compute_dtypes(cfg)
     module = X3D(cfg_frozen=cfg.to_dict(), dtype=dtype)
     return module, _conv_example(cfg, dtype, 1)
+
+
+@MODEL_REGISTRY.register(name="ActionCLIP")
+def build_actionclip_entry(cfg):
+    from .actionclip import build_actionclip
+
+    return build_actionclip(cfg)

@@ -81,8 +81,11 @@ def save_checkpoint(output_dir: str, state, epoch: int, cfg=None) -> str:
         "step": np.asarray(state.step),
         "params": jax.tree.map(np.asarray, state.params),
         "opt_state": jax.tree.map(np.asarray, state.opt_state),
-        "model_state": jax.tree.map(np.asarray, state.model_state),
+        "model_state": jax.tree.map(
+            np.asarray, getattr(state, "model_state", {})),
     }
+    if getattr(state, "ema_params", None) is not None:
+        payload["ema_params"] = jax.tree.map(np.asarray, state.ema_params)
     if cfg is not None:
         with open(os.path.join(checkpoint_dir(output_dir),
                                "config.yaml"), "w") as f:
@@ -129,11 +132,16 @@ def load_checkpoint(
 
     payload = _checkpointer().restore(path)
     params = _like(state.params, payload["params"])
-    model_state = state.model_state
-    if payload.get("model_state"):
-        model_state = _restore_opt(state.model_state, payload["model_state"])
+    extra = {}
+    if payload.get("model_state") and hasattr(state, "model_state"):
+        extra["model_state"] = _restore_opt(
+            state.model_state, payload["model_state"])
+    if payload.get("ema_params") is not None and hasattr(state, "ema_params") \
+            and state.ema_params is not None:
+        extra["ema_params"] = _restore_opt(
+            state.ema_params, payload["ema_params"])
     if epoch_reset:
-        return state.replace(params=params, model_state=model_state), 0
+        return state.replace(params=params, **extra), 0
     opt_state = jax.tree.map(
         lambda a, b: np.asarray(b).astype(a.dtype) if hasattr(a, "dtype") else b,
         state.opt_state,
@@ -142,8 +150,8 @@ def load_checkpoint(
     new_state = state.replace(
         params=params,
         opt_state=opt_state,
-        model_state=model_state,
         step=np.asarray(payload["step"]),
+        **extra,
     )
     return new_state, int(payload["epoch"])
 
