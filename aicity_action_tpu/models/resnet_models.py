@@ -152,7 +152,7 @@ class ResNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, bboxes=None, *, train: bool = False):
         from ..config.node import CfgNode
 
         cfg = CfgNode(self.cfg_frozen)
@@ -194,6 +194,21 @@ class ResNet(nn.Module):
                 xs = [pool3d(xs[0], "max", pool_size[0], pool_size[0],
                              (0, 0, 0))]
 
+        if cfg.DETECTION.ENABLE:
+            from .roi_head import ResNetRoIHead
+
+            head = ResNetRoIHead(
+                num_classes=cfg.MODEL.NUM_CLASSES,
+                pool_size=((cfg.DATA.NUM_FRAMES // pool_size[0][0], 1, 1),),
+                resolution=(cfg.DETECTION.ROI_XFORM_RESOLUTION,),
+                scale_factor=(cfg.DETECTION.SPATIAL_SCALE_FACTOR,),
+                dropout_rate=cfg.MODEL.DROPOUT_RATE,
+                act_func=cfg.MODEL.HEAD_ACT,
+                aligned=cfg.DETECTION.ALIGNED,
+                dtype=self.dtype,
+                name="head",
+            )
+            return head(xs, bboxes, train=train)
         head = ResNetBasicHead(
             num_classes=cfg.MODEL.NUM_CLASSES,
             pool_size=(
@@ -216,7 +231,7 @@ class SlowFast(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, bboxes=None, *, train: bool = False):
         from ..config.node import CfgNode
 
         cfg = CfgNode(self.cfg_frozen)
@@ -289,6 +304,24 @@ class SlowFast(nn.Module):
                     dtype=self.dtype, name=f"s{si + 2}_fuse",
                 )(xs, train=train)
 
+        if cfg.DETECTION.ENABLE:
+            from .roi_head import ResNetRoIHead
+
+            head = ResNetRoIHead(
+                num_classes=cfg.MODEL.NUM_CLASSES,
+                pool_size=(
+                    (cfg.DATA.NUM_FRAMES // alpha // pool_size[0][0], 1, 1),
+                    (cfg.DATA.NUM_FRAMES // pool_size[1][0], 1, 1),
+                ),
+                resolution=(cfg.DETECTION.ROI_XFORM_RESOLUTION,) * 2,
+                scale_factor=(cfg.DETECTION.SPATIAL_SCALE_FACTOR,) * 2,
+                dropout_rate=cfg.MODEL.DROPOUT_RATE,
+                act_func=cfg.MODEL.HEAD_ACT,
+                aligned=cfg.DETECTION.ALIGNED,
+                dtype=self.dtype,
+                name="head",
+            )
+            return head(xs, bboxes, train=train)
         head = ResNetBasicHead(
             num_classes=cfg.MODEL.NUM_CLASSES,
             pool_size=(

@@ -32,12 +32,17 @@ def _conv_example(cfg, dtype, pathways):
     S = cfg.DATA.TRAIN_CROP_SIZE
     C = cfg.DATA.INPUT_CHANNEL_NUM
     if pathways == 1:
-        return [jnp.zeros((1, T, S, S, C[0]), dtype)]
-    alpha = cfg.SLOWFAST.ALPHA
-    return [
-        jnp.zeros((1, T // alpha, S, S, C[0]), dtype),
-        jnp.zeros((1, T, S, S, C[1] if len(C) > 1 else C[0]), dtype),
-    ]
+        xs = [jnp.zeros((1, T, S, S, C[0]), dtype)]
+    else:
+        alpha = cfg.SLOWFAST.ALPHA
+        xs = [
+            jnp.zeros((1, T // alpha, S, S, C[0]), dtype),
+            jnp.zeros((1, T, S, S, C[1] if len(C) > 1 else C[0]), dtype),
+        ]
+    if cfg.DETECTION.ENABLE:
+        boxes = jnp.zeros((1, 5), jnp.float32)
+        return (xs, boxes)  # tuple => multiple positional args at init
+    return xs
 
 
 @MODEL_REGISTRY.register(name="ResNet")

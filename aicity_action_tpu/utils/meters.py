@@ -8,6 +8,7 @@ here are already reduced/gathered.
 from __future__ import annotations
 
 import datetime
+import os
 import time
 from collections import deque
 
@@ -278,6 +279,69 @@ class TestMeter:
         self.stats = stats
         log_json_stats(stats)
         return stats
+
+
+class AVAMeter:
+    """Accumulates box predictions over an epoch and computes AVA mAP
+    (reference: meters.py:48-275 + ava_eval_helper).
+
+    ``update_stats(preds, ori_boxes, metadata)`` takes per-box rows already
+    filtered to valid boxes; ``finalize_metrics`` runs the frame-mAP
+    evaluation against the configured GT/exclusion/labelmap files.
+    """
+
+    def __init__(self, overall_iters: int, cfg, mode: str):
+        from ..evaluation import ava_eval
+
+        self.cfg = cfg
+        self.mode = mode
+        self.overall_iters = overall_iters
+        self.all_preds: list = []
+        self.all_ori_boxes: list = []
+        self.all_metadata: list = []
+        self.full_map = 0.0
+        self._eval = ava_eval
+
+        anno_dir = cfg.AVA.ANNOTATION_DIR
+        self.excluded_keys = ava_eval.read_exclusions(
+            os.path.join(anno_dir, cfg.AVA.EXCLUSION_FILE)
+            if cfg.AVA.EXCLUSION_FILE else None
+        )
+        self.categories, self.class_whitelist = ava_eval.read_labelmap(
+            os.path.join(anno_dir, cfg.AVA.LABEL_MAP_FILE))
+        gt_file = os.path.join(anno_dir, cfg.AVA.GROUNDTRUTH_FILE)
+        self.full_groundtruth = ava_eval.read_csv(
+            gt_file, self.class_whitelist)
+        self.video_idx_to_name: list = []
+
+    def reset(self):
+        self.all_preds = []
+        self.all_ori_boxes = []
+        self.all_metadata = []
+
+    def update_stats(self, preds, ori_boxes, metadata):
+        self.all_preds.append(np.asarray(preds))
+        self.all_ori_boxes.append(np.asarray(ori_boxes))
+        self.all_metadata.append(np.asarray(metadata))
+
+    def finalize_metrics(self, log: bool = True) -> float:
+        preds = np.concatenate(self.all_preds)
+        boxes = np.concatenate(self.all_ori_boxes)
+        metadata = np.concatenate(self.all_metadata)
+        # boxes arrive as (x1, y1, x2, y2) pixel coords of the ORIGINAL
+        # frame; AVA eval wants normalized — callers normalize beforehand.
+        full_boxes = np.concatenate(
+            [np.zeros((len(boxes), 1), np.float32), boxes], axis=1)
+        self.full_map = self._eval.evaluate_ava(
+            preds, full_boxes, metadata.tolist(),
+            self.excluded_keys, self.class_whitelist,
+            groundtruth=self.full_groundtruth,
+            video_idx_to_name=self.video_idx_to_name,
+        )
+        if log:
+            log_json_stats({"_type": f"{self.mode}_ava_map",
+                            "map": self.full_map})
+        return self.full_map
 
 
 class EpochTimer:
