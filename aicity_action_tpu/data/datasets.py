@@ -146,19 +146,22 @@ class VideoCsvDataset:
         if cfg.DATA.REVERSE_INPUT_CHANNEL:
             frames = frames[..., ::-1]
 
-        frames = transform.spatial_sampling(
-            frames,
-            spatial_idx=spatial_idx,
-            min_scale=min_scale,
-            max_scale=max_scale,
-            crop_size=crop_size,
-            random_horizontal_flip=cfg.DATA.RANDOM_FLIP,
-            inverse_uniform_sampling=cfg.DATA.INV_UNIFORM_SAMPLE,
-            rng=rng,
-        )
-        frames = transform.tensor_normalize(
-            frames, cfg.DATA.MEAN, cfg.DATA.STD
-        )
+        if self.mode == "train" and cfg.AUG.ENABLE:
+            frames = self._aug_frames(frames, crop_size, rng)
+        else:
+            frames = transform.spatial_sampling(
+                frames,
+                spatial_idx=spatial_idx,
+                min_scale=min_scale,
+                max_scale=max_scale,
+                crop_size=crop_size,
+                random_horizontal_flip=cfg.DATA.RANDOM_FLIP,
+                inverse_uniform_sampling=cfg.DATA.INV_UNIFORM_SAMPLE,
+                rng=rng,
+            )
+            frames = transform.tensor_normalize(
+                frames, cfg.DATA.MEAN, cfg.DATA.STD
+            )
 
         n_path = 2 if cfg.MODEL.ARCH in cfg.MODEL.MULTI_PATHWAY_ARCH else 1
         inputs = transform.pack_pathway_output(
@@ -166,6 +169,37 @@ class VideoCsvDataset:
         )
         label = self._labels[index]
         return inputs, label, index, {}
+
+    def _aug_frames(self, frames: np.ndarray, crop_size: int,
+                    rng) -> np.ndarray:
+        """RandAugment path (reference: aicity.py:354-429 _aug_frame):
+        PIL RandAugment (same ops per clip) → inception-style crop (+flip) →
+        normalize → optional RandomErasing."""
+        from PIL import Image
+
+        from .rand_augment import RandomErasing, rand_augment_transform
+
+        cfg = self.cfg
+        ra = rand_augment_transform(cfg.AUG.AA_TYPE)
+        pil = [Image.fromarray(f) for f in frames]
+        pil = ra(pil)
+        frames = np.stack([np.asarray(f) for f in pil])
+
+        scl = cfg.DATA.TRAIN_JITTER_SCALES_RELATIVE or (0.08, 1.0)
+        asp = cfg.DATA.TRAIN_JITTER_ASPECT_RELATIVE or (3 / 4, 4 / 3)
+        frames = transform.random_resized_crop(
+            frames, crop_size, crop_size, scale=scl, ratio=asp, rng=rng)
+        if cfg.DATA.RANDOM_FLIP:
+            frames = transform.horizontal_flip(0.5, frames, rng)
+        frames = np.ascontiguousarray(frames)
+        frames = transform.tensor_normalize(frames, cfg.DATA.MEAN,
+                                            cfg.DATA.STD)
+        if cfg.AUG.RE_PROB > 0:
+            frames = RandomErasing(
+                probability=cfg.AUG.RE_PROB, mode=cfg.AUG.RE_MODE,
+                max_count=cfg.AUG.RE_COUNT,
+            )(frames, rng)
+        return frames
 
 
 @DATASET_REGISTRY.register(name="Kinetics")
@@ -246,4 +280,7 @@ class WebVideoText(VideoCsvDataset):
 
 def build_dataset(name: str, cfg, split: str):
     """Reference: datasets/build.py:15-31 — name is capitalized to class."""
+    from . import ava  # noqa: F401  (registry side effects)
+    from . import frame_datasets  # noqa: F401
+
     return DATASET_REGISTRY.get(name.capitalize())(cfg, split)

@@ -126,6 +126,57 @@ def random_resized_crop(
     return out
 
 
+def color_jitter(
+    frames: np.ndarray,
+    img_brightness: float = 0,
+    img_contrast: float = 0,
+    img_saturation: float = 0,
+    rng: Optional[random.Random] = None,
+) -> np.ndarray:
+    """Randomly-ordered brightness/contrast/saturation jitter on float
+    frames [T, H, W, C] in [0, 1] (reference: transform.py:311-410)."""
+    r = rng or random
+    jitter = []
+    if img_brightness != 0:
+        jitter.append("brightness")
+    if img_contrast != 0:
+        jitter.append("contrast")
+    if img_saturation != 0:
+        jitter.append("saturation")
+    order = list(np.random.permutation(len(jitter))) if jitter else []
+    out = frames.astype(np.float32)
+    for idx in order:
+        kind = jitter[idx]
+        if kind == "brightness":
+            alpha = 1.0 + r.uniform(-img_brightness, img_brightness)
+            out = out * alpha
+        elif kind == "contrast":
+            alpha = 1.0 + r.uniform(-img_contrast, img_contrast)
+            gray_mean = (0.299 * out[..., 0] + 0.587 * out[..., 1]
+                         + 0.114 * out[..., 2]).mean()
+            out = out * alpha + gray_mean * (1 - alpha)
+        elif kind == "saturation":
+            alpha = 1.0 + r.uniform(-img_saturation, img_saturation)
+            gray = (0.299 * out[..., 0] + 0.587 * out[..., 1]
+                    + 0.114 * out[..., 2])[..., None]
+            out = out * alpha + gray * (1 - alpha)
+    return out
+
+
+def lighting_jitter(
+    frames: np.ndarray,
+    alphastd: float,
+    eigval,
+    eigvec,
+) -> np.ndarray:
+    """AlexNet-style PCA lighting noise (reference: transform.py:412-451)."""
+    if alphastd == 0:
+        return frames
+    alpha = np.random.normal(0, alphastd, size=3)
+    rgb = (np.asarray(eigvec) * alpha * np.asarray(eigval)).sum(axis=1)
+    return frames + rgb.astype(frames.dtype)
+
+
 def tensor_normalize(
     frames: np.ndarray, mean: Sequence[float], std: Sequence[float]
 ) -> np.ndarray:

@@ -95,6 +95,12 @@ def train(cfg):
     val_meter = ValMeter(len(val_loader), cfg)
     epoch_timer = EpochTimer()
 
+    writer = None
+    if cfg.TENSORBOARD.ENABLE and jax.process_index() == 0:
+        from ..visualization.tensorboard_vis import TensorboardWriter
+
+        writer = TensorboardWriter(cfg)
+
     per_host_batch = train_loader.batch_size
 
     def put(batch):
@@ -131,6 +137,15 @@ def train(cfg):
                 lr = float(lr_schedule(int(np.asarray(state.step)) - 1))
                 train_meter.iter_toc()
                 train_meter.update_stats(top1, top5, loss, lr, n_valid)
+                if writer is not None:
+                    scalars = {"Train/loss": loss, "Train/lr": lr}
+                    if top1 is not None:
+                        scalars["Train/Top1_err"] = top1
+                        scalars["Train/Top5_err"] = top5
+                    writer.add_scalars(
+                        scalars,
+                        global_step=cur_epoch * steps_per_epoch + cur_iter,
+                    )
                 train_meter.log_iter_stats(cur_epoch, cur_iter)
                 train_meter.iter_tic()
 
@@ -152,6 +167,8 @@ def train(cfg):
             eval_epoch(cfg, mesh, jitted_eval, state, val_loader, val_meter,
                        cur_epoch, per_host_batch)
 
+    if writer is not None:
+        writer.close()
     logger.info("Training done.")
     return state
 
