@@ -113,6 +113,78 @@ def make_train_step(
     return train_step
 
 
+def make_multihead_train_step(
+    module,
+    tx: optax.GradientTransformation,
+    *,
+    datasets,
+    loss_funcs,
+    loss_weights=None,
+    add_cross_proj: bool = False,
+    cross_proj_add_to_pred: bool = False,
+    proj_loss_func: str | None = None,
+    proj_loss_weight: float = 0.5,
+) -> Callable:
+    """Multi-dataset training step (reference: train_net.py:155-218).
+
+    The batch carries one-hot labels in the max class space plus a
+    ``dataset_idx`` column; per-dataset masks and per-dataset label slices
+    are derived inside the step.
+    """
+    weights = (
+        dict(zip(datasets, loss_weights)) if loss_weights is not None else None
+    )
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+        dropout_rng, droppath_rng = jax.random.split(step_rng)
+        inputs = batch["inputs"]
+        labels_full = batch["labels"]  # [B, max_classes] one-hot
+        ds_idx = batch["dataset_idx"]  # [B]
+
+        masks = {
+            ds: (ds_idx == i).astype(jnp.float32)
+            for i, ds in enumerate(datasets)
+        }
+        from ..models.losses import compute_multi_dataset_loss
+
+        n_cls = {ds: n for ds, n in zip(
+            datasets, module.spec.multi_num_classes)}
+
+        def compute_loss(params):
+            preds = module.apply(
+                {"params": params},
+                inputs,
+                None,
+                None,
+                train=True,
+                run_cross_proj=add_cross_proj,
+                rngs={"dropout": dropout_rng, "droppath": droppath_rng},
+            )
+            labels = {ds: labels_full[:, : n_cls[ds]] for ds in datasets}
+            loss = compute_multi_dataset_loss(
+                preds, labels, masks, datasets, loss_funcs,
+                dataset_loss_weights=weights,
+                add_cross_proj=add_cross_proj,
+                cross_proj_add_to_pred=cross_proj_add_to_pred,
+                proj_loss_func=proj_loss_func,
+                proj_loss_weight=proj_loss_weight,
+            )
+            return loss, preds
+
+        (loss, preds), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt,
+        )
+        metrics = {"loss": loss, "loss_is_nan": ~jnp.isfinite(loss)}
+        return new_state, metrics, preds
+
+    return train_step
+
+
 def make_eval_step(module) -> Callable:
     def eval_step(params, batch: dict, model_state=None):
         variables = {"params": params, **(model_state or {})}

@@ -128,32 +128,42 @@ class TransformerMultiHead(nn.Module):
         run_cross_proj: bool = False,
         train: bool = False,
     ):
-        if self.dropout_rate > 0.0:
+        if self.dropout_rate > 0.0 and not self.use_mlp:
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
 
         names = list(self.datasets) if dataset_name is None else [dataset_name]
         out = {}
+        raw = {}  # pre-activation logits feed the cross projections
         for ds in names:
             idx = list(self.datasets).index(ds)
             logits = self._proj(f"head_{ds}", self.num_classes[idx])(x)
+            raw[ds] = logits
             if not train:
                 logits = head_activation(logits, self.act_funcs[idx])
             out[ds] = logits
 
-        if self.add_cross_proj and run_cross_proj:
-            cross = {}
+        if self.add_cross_proj:
+            # "{src}_{dst}" entries merged into the same dict, projecting the
+            # src head's logits into the dst class space
+            # (reference: head_helper.py:585-601). Params are created even
+            # when run_cross_proj is off (init must trace them); unused
+            # outputs are dropped below and DCE'd by XLA.
             for i, src in enumerate(self.datasets):
                 for j, dst in enumerate(self.datasets):
                     if i == j:
                         continue
-                    cross[f"{src}_{dst}"] = nn.Dense(
+                    src_logits = raw.get(src)
+                    if src_logits is None:
+                        src_logits = self._proj(
+                            f"head_{src}", self.num_classes[i])(x)
+                    proj = nn.Dense(
                         self.num_classes[j],
                         use_bias=False,
                         kernel_init=trunc_normal_init,
                         dtype=self.dtype,
                         param_dtype=self.param_dtype,
                         name=f"cross_{src}_{dst}",
-                    )(out[src] if src in out else self._proj(
-                        f"head_{src}", self.num_classes[i])(x))
-            return out, cross
+                    )(src_logits)
+                    if run_cross_proj:
+                        out[f"{src}_{dst}"] = proj
         return out

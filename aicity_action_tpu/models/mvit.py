@@ -86,6 +86,19 @@ class MViTSpec:
     contra_enable: bool = False
     contra_embed_dim: int = 512
     contra_use_mlp: bool = False
+    # multi-dataset heads (MODEL.USE_MULTI_HEAD, video_model_builder:1106-1117)
+    use_multi_head: bool = False
+    multi_datasets: tuple = ()
+    multi_num_classes: tuple = ()
+    multi_head_act: tuple = ()
+    multi_use_mlp: bool = False
+    multi_add_cross_proj: bool = False
+    # detection (MViT ROI path, video_model_builder:1258-1303)
+    detection_enable: bool = False
+    roi_resolution: int = 7
+    roi_scale_factor: int = 16
+    roi_aligned: bool = True
+    use_spatial_maxpool_before_proj: bool = False
 
     @property
     def patch_dims(self) -> Triple:
@@ -216,6 +229,18 @@ def build_mvit_spec(cfg) -> MViTSpec:
         contra_enable=cfg.CONTRA.ENABLE,
         contra_embed_dim=cfg.CONTRA.embed_dim,
         contra_use_mlp=cfg.CONTRA.use_MLP,
+        use_multi_head=cfg.MODEL.USE_MULTI_HEAD,
+        multi_datasets=tuple(cfg.MODEL.MULTI_DATASETS),
+        multi_num_classes=tuple(cfg.MODEL.MULTI_NUM_CLASSES),
+        multi_head_act=tuple(cfg.MODEL.MULTI_HEAD_ACT),
+        multi_use_mlp=cfg.MODEL.MULTI_USE_MLP,
+        multi_add_cross_proj=cfg.MODEL.MULTI_ADD_CROSS_PROJ,
+        detection_enable=cfg.DETECTION.ENABLE,
+        roi_resolution=cfg.DETECTION.ROI_XFORM_RESOLUTION,
+        roi_scale_factor=cfg.DETECTION.SPATIAL_SCALE_FACTOR,
+        roi_aligned=cfg.DETECTION.ALIGNED,
+        use_spatial_maxpool_before_proj=(
+            cfg.DETECTION.USE_SPATIAL_MAXPOOL_BEFORE_PROJ),
     )
 
 
@@ -457,7 +482,8 @@ class MViT(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, bboxes=None, dataset_name=None, *,
+                 train: bool = False, run_cross_proj: bool = False):
         sp = self.spec
         deterministic = not train
         if not sp.direct_input and isinstance(x, (list, tuple)):
@@ -549,7 +575,38 @@ class MViT(nn.Module):
                 name="norm",
             )(x)
 
-        if sp.cls_embed:
+        if sp.detection_enable and bboxes is not None:
+            # ROI path (video_model_builder.py:1258-1271): tokens back to a
+            # [B, T, H, W, C] volume, temporal pool + ROIAlign head
+            from .roi_head import ResNetRoIHead
+
+            T2, H2, W2 = thw
+            feat_map = x.reshape(B, T2, H2, W2, x.shape[-1])
+            return ResNetRoIHead(
+                num_classes=sp.num_classes,
+                pool_size=((T2, 1, 1),),
+                resolution=(sp.roi_resolution,),
+                scale_factor=(sp.roi_scale_factor,),
+                dropout_rate=sp.head_dropout,
+                act_func=sp.head_act,
+                aligned=sp.roi_aligned,
+                dtype=self.dtype,
+                name="head",
+            )([feat_map], bboxes, train=train)
+
+        if sp.use_spatial_maxpool_before_proj:
+            # ONNX-safe whole-frame path (video_model_builder.py:1273-1303):
+            # mean over T, resize to the ROI resolution, max over space
+            T2, H2, W2 = thw
+            fm = x.reshape(B, T2, H2, W2, x.shape[-1]).mean(axis=1)
+            if H2 != sp.roi_resolution:
+                fm = jax.image.resize(
+                    fm, (B, sp.roi_resolution, sp.roi_resolution,
+                         fm.shape[-1]),
+                    method="bilinear",
+                )
+            feat = fm.max(axis=(1, 2))
+        elif sp.cls_embed:
             feat = x[:, 0]
         else:
             feat = x.mean(axis=1)
@@ -563,6 +620,21 @@ class MViT(nn.Module):
                 param_dtype=self.param_dtype,
                 name="head",
             )(feat, deterministic=deterministic)
+
+        if sp.use_multi_head:
+            from .heads import TransformerMultiHead
+
+            return TransformerMultiHead(
+                datasets=sp.multi_datasets,
+                num_classes=sp.multi_num_classes,
+                act_funcs=sp.multi_head_act,
+                dropout_rate=sp.head_dropout,
+                use_mlp=sp.multi_use_mlp,
+                add_cross_proj=sp.multi_add_cross_proj,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="head",
+            )(feat, dataset_name, run_cross_proj=run_cross_proj, train=train)
 
         return TransformerBasicHead(
             num_classes=sp.num_classes,

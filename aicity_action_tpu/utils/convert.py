@@ -151,6 +151,59 @@ def _convert_block_entry(rest: list[str], w: np.ndarray):
     return None, None
 
 
+def inflate_2d_to_3d(weight_2d: np.ndarray, time_dim: int) -> np.ndarray:
+    """Inflate a 2-D conv kernel to 3-D by temporal repeat + divide
+    (reference: checkpoint.py:142-179 inflate_weight).
+
+    torch layout in: ``[O, I, H, W]`` → out ``[O, I, T, H, W]``.
+    """
+    assert weight_2d.ndim == 4, weight_2d.shape
+    w3 = np.repeat(weight_2d[:, :, None], time_dim, axis=2)
+    return w3 / float(time_dim)
+
+
+def get_c2_name_convert_func():
+    """caffe2 → pytorch layer-name conversion (reference:
+    c2_model_loading.py:get_name_convert_func rule set, re-expressed).
+
+    Returns a function mapping one caffe2 blob name to the pytorch name the
+    rest of the converter understands.
+    """
+    import re
+
+    pairs = [
+        # stem
+        (r"^conv1_w$", "s1.pathway0_stem.conv.weight"),
+        (r"^conv1_bn_(s|b)$", lambda m: "s1.pathway0_stem.bn."
+         + ("weight" if m.group(1) == "s" else "bias")),
+        (r"^conv1_bn_(rm|riv)$", lambda m: "s1.pathway0_stem.bn."
+         + ("running_mean" if m.group(1) == "rm" else "running_var")),
+        # residual blocks: resN_M_branchB[_suffix]
+        (r"^res(\d)_(\d+)_branch([12])([a-c]?)_w$",
+         lambda m: f"s{int(m.group(1))}.pathway0_res{m.group(2)}."
+         + (f"branch1.weight" if m.group(3) == "1"
+            else f"branch2.{m.group(4)}.weight")),
+        (r"^res(\d)_(\d+)_branch([12])([a-c]?)_bn_(s|b|rm|riv)$",
+         lambda m: f"s{int(m.group(1))}.pathway0_res{m.group(2)}."
+         + ("branch1_bn." if m.group(3) == "1"
+            else f"branch2.{m.group(4)}_bn.")
+         + {"s": "weight", "b": "bias", "rm": "running_mean",
+            "riv": "running_var"}[m.group(5)]),
+        # head
+        (r"^pred_w$", "head.projection.weight"),
+        (r"^pred_b$", "head.projection.bias"),
+    ]
+
+    def convert(name: str) -> str:
+        for pat, repl in pairs:
+            m = re.match(pat, name)
+            if m:
+                return repl(m) if callable(repl) else repl
+        return name
+
+    return convert
+
+
 def _flatten(tree: dict, prefix=()) -> dict[tuple, np.ndarray]:
     out = {}
     for k, v in tree.items():
