@@ -129,16 +129,23 @@ class WindowDataset:
             self._roi_px = (
                 int(w * x1), int(h * y1), int(w * x2), int(h * y2)
             )
-        x1, y1, x2, y2 = self._roi_px
-        frames = frames[:, y1:y2, x1:x2]
-
         s = self.frame_size
-        resized = np.empty((frames.shape[0], s, s, 3), np.uint8)
-        for i in range(frames.shape[0]):
-            resized[i] = cv2.resize(frames[i], (s, s),
-                                    interpolation=cv2.INTER_LINEAR)
-        x = resized.astype(np.float32) / 255.0
-        x = (x - self.mean) / self.std
+
+        # native fused crop+resize+normalize (aicity_action_tpu/native);
+        # falls back to the cv2/numpy path when the lib is unavailable
+        from .. import native
+
+        x = native.crop_resize_normalize(
+            frames, self._roi_px, s, self.mean, self.std)
+        if x is None:
+            x1, y1, x2, y2 = self._roi_px
+            cropped = frames[:, y1:y2, x1:x2]
+            resized = np.empty((frames.shape[0], s, s, 3), np.uint8)
+            for i in range(frames.shape[0]):
+                resized[i] = cv2.resize(cropped[i], (s, s),
+                                        interpolation=cv2.INTER_LINEAR)
+            x = resized.astype(np.float32) / 255.0
+            x = (x - self.mean) / self.std
 
         inputs = pack_pathway_output(x, self.arch_pathways, self.slowfast_alpha)
         return inputs, t0, t1  # loader collates (inputs, label, index, meta)
