@@ -276,5 +276,6 @@ class Ava:
             "box_mask": mask,
             "ori_boxes": ori_slab,
             "metadata": metadata,
+            "orig_hw": np.asarray([H, W], np.float32),
         }
         return inputs, labels, index, meta

@@ -36,13 +36,11 @@ def _pad_batch(batch: dict, size: int) -> tuple[dict, int]:
     pad = size - n
 
     def pad_arr(x):
-        reps = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
-        return reps
+        return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
 
     out = {
-        "inputs": [pad_arr(p) for p in batch["inputs"]],
-        "labels": pad_arr(batch["labels"]),
-        "index": pad_arr(batch["index"]),
+        k: ([pad_arr(p) for p in v] if isinstance(v, list) else pad_arr(v))
+        for k, v in batch.items()
     }
     return out, n
 
@@ -78,13 +76,20 @@ def train(cfg):
     state = TrainState.create(params, tx, model_state)
     state, start_epoch = cu.load_train_checkpoint(cfg, state)
 
-    mixup_fn = build_mixup_from_cfg(cfg)
-    train_step = make_train_step(
-        module, tx, cfg.MODEL.LOSS_FUNC, mixup_fn=mixup_fn,
-        gather_before_loss=cfg.TRAIN.GATHER_BEFORE_LOSS,
-    )
+    detection = cfg.DETECTION.ENABLE
+    if detection:
+        from .detection import make_detection_eval_step, make_detection_train_step
+
+        train_step = make_detection_train_step(module, tx, cfg.MODEL.LOSS_FUNC)
+        jitted_eval = jax.jit(make_detection_eval_step(module))
+    else:
+        mixup_fn = build_mixup_from_cfg(cfg)
+        train_step = make_train_step(
+            module, tx, cfg.MODEL.LOSS_FUNC, mixup_fn=mixup_fn,
+            gather_before_loss=cfg.TRAIN.GATHER_BEFORE_LOSS,
+        )
+        jitted_eval = jax.jit(make_eval_step(module))
     jitted_train = jax.jit(train_step, donate_argnums=0)
-    jitted_eval = jax.jit(make_eval_step(module))
 
     b_sh = batch_sharding(mesh)
     repl = replicated(mesh)
@@ -104,10 +109,14 @@ def train(cfg):
     per_host_batch = train_loader.batch_size
 
     def put(batch):
-        return {
+        out = {
             "inputs": [jax.device_put(x, b_sh) for x in batch["inputs"]],
             "labels": jax.device_put(batch["labels"], b_sh),
         }
+        for key in ("boxes", "box_mask"):
+            if key in batch:
+                out[key] = jax.device_put(batch[key], b_sh)
+        return out
 
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
         shuffle_dataset(train_loader, cur_epoch)
@@ -130,7 +139,7 @@ def train(cfg):
                     )
                 preds_np = np.asarray(
                     jax.device_get(preds), np.float32)[:n_valid]
-                if labels_np.ndim == 1:
+                if not detection and labels_np.ndim == 1:
                     top1, top5 = _errors(preds_np, labels_np[:n_valid])
                 else:
                     top1 = top5 = None
@@ -158,19 +167,85 @@ def train(cfg):
         train_meter.log_epoch_stats(cur_epoch)
         train_meter.reset()
 
-        if cu.is_checkpoint_epoch(cfg, cur_epoch):
+        is_ckpt = cu.is_checkpoint_epoch(cfg, cur_epoch)
+        is_eval = (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0 or (
+            cur_epoch + 1 == cfg.SOLVER.MAX_EPOCH)
+        if (cfg.BN.USE_PRECISE_STATS and (is_ckpt or is_eval)
+                and state.model_state.get("batch_stats")):
+            # recompute BN stats as a true average (train_net.py:784-795)
+            from .precise_bn import calculate_and_update_precise_bn
+
+            def bn_batches():
+                for b in train_loader:
+                    b, _ = _pad_batch(b, per_host_batch)
+                    yield [jax.device_put(x, b_sh) for x in b["inputs"]]
+
+            new_ms = calculate_and_update_precise_bn(
+                module, state.params, jax.device_get(state.model_state),
+                bn_batches(),
+                num_batches=min(cfg.BN.NUM_BATCHES_PRECISE, steps_per_epoch),
+            )
+            state = state.replace(model_state=jax.device_put(new_ms, repl))
+
+        if is_ckpt:
             cu.save_checkpoint(cfg.OUTPUT_DIR, jax.device_get(state),
                                cur_epoch, cfg)
-        if (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0 or (
-            cur_epoch + 1 == cfg.SOLVER.MAX_EPOCH
-        ):
-            eval_epoch(cfg, mesh, jitted_eval, state, val_loader, val_meter,
-                       cur_epoch, per_host_batch)
+        if is_eval:
+            if detection:
+                eval_epoch_detection(cfg, mesh, jitted_eval, state,
+                                     val_loader, cur_epoch, per_host_batch)
+            else:
+                eval_epoch(cfg, mesh, jitted_eval, state, val_loader,
+                           val_meter, cur_epoch, per_host_batch)
 
     if writer is not None:
         writer.close()
     logger.info("Training done.")
     return state
+
+
+def eval_epoch_detection(cfg, mesh, jitted_eval, state, val_loader,
+                         cur_epoch, per_host_batch):
+    """AVA detection eval: collect per-box (preds, normalized ori_boxes,
+    metadata) into the AVAMeter → frame mAP (reference: train_net.py
+    DETECTION branch of eval_epoch + test_net.py:98-108)."""
+    from ..utils.meters import AVAMeter
+
+    b_sh = batch_sharding(mesh)
+    meter = AVAMeter(len(val_loader), cfg, "val")
+    meter.video_idx_to_name = val_loader.dataset.video_idx_to_name
+    crop = cfg.DATA.TEST_CROP_SIZE
+    with mesh:
+        for batch in val_loader:
+            batch, n_valid = _pad_batch(batch, per_host_batch)
+            dev = {
+                "inputs": [jax.device_put(x, b_sh) for x in batch["inputs"]],
+                "boxes": jax.device_put(batch["boxes"], b_sh),
+            }
+            preds = np.asarray(jax.device_get(
+                jitted_eval(state.params, dev, state.model_state)),
+                np.float32)
+            M = batch["boxes"].shape[1]
+            preds = preds.reshape(-1, M, preds.shape[-1])[:n_valid]
+            mask = batch["box_mask"][:n_valid].astype(bool)
+            ori = batch["ori_boxes"][:n_valid]
+            # normalize to [0, 1] in the ORIGINAL frame (the dataset kept
+            # ori_boxes in original pixel coords; metadata carries H, W via
+            # the eval gt being normalized already) — AVA gt is normalized,
+            # so divide by the original frame size stored per sample
+            meta = batch["metadata"][:n_valid]
+            hw = batch.get("orig_hw")
+            for b in range(preds.shape[0]):
+                m = mask[b]
+                if not m.any():
+                    continue
+                boxes_b = ori[b][m]
+                if hw is not None:
+                    H, W = hw[b]
+                    boxes_b = boxes_b / np.asarray([W, H, W, H], np.float32)
+                meter.update_stats(preds[b][m], boxes_b, meta[b][m])
+    meter.finalize_metrics()
+    return meter.full_map
 
 
 def eval_epoch(cfg, mesh, jitted_eval, state, val_loader, val_meter,

@@ -295,58 +295,122 @@ class MultiScaleAttention(nn.Module):
             param_dtype=self.param_dtype,
             name="qkv",
         )(x)
-        # [B, L, 3, h, d] -> 3 x [B, h, L, d]
-        qkv = qkv.reshape(B, L, 3, h, d).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
 
         do_q = self._active(self.kernel_q, self.stride_q)
         do_kv = self._active(self.kernel_kv, self.stride_kv)
 
-        def _pool(t, name, kernel, stride):
-            if self.mode == "conv":
-                w = self.param(
-                    f"pool_{name}",
-                    nn.initializers.lecun_normal(),
-                    (*kernel, 1, d),
-                    self.param_dtype,
-                ).astype(self.dtype)
+        def _pool_param(name, kernel):
+            return self.param(
+                f"pool_{name}",
+                nn.initializers.lecun_normal(),
+                (*kernel, 1, d),
+                self.param_dtype,
+            ).astype(self.dtype)
+
+        def _norm(name, t):
+            # LN over head_dim; torch-default eps (attention.py:338
+            # constructs a raw nn.LayerNorm)
+            return nn.LayerNorm(
+                epsilon=1e-5, dtype=self.dtype,
+                param_dtype=self.param_dtype, name=f"norm_{name}",
+            )(t)
+
+        if not self.has_cls:
+            # TPU-fast layout: heads stay folded in the channel dim
+            # ([B, L, h*d]) through pooling — all heads share the depthwise
+            # pool weights (the reference folds heads into batch; identical
+            # math), so ONE conv with h-tiled weights pools every head, and
+            # the flash kernel slices heads via its grid. No head-major
+            # transposes anywhere; the q-residual add is layout-free.
+            q = qkv[..., :C]
+            k = qkv[..., C:2 * C]
+            v = qkv[..., 2 * C:]
+
+            def _pool_fused(t, name, kernel, stride):
+                if self.mode == "conv":
+                    w = jnp.tile(_pool_param(name, kernel), (1, 1, 1, 1, h))
+                else:
+                    w = None
+                t, new_thw = attention_pool(
+                    t, thw, mode=self.mode, kernel=kernel, stride=stride,
+                    conv_weights=w, has_cls=False,
+                )
+                if self.mode == "conv":
+                    L2 = t.shape[1]
+                    t = _norm(name, t.reshape(B, L2, h, d)).reshape(B, L2, C)
+                return t, new_thw
+
+            out_thw = thw
+            if do_q:
+                q, out_thw = _pool_fused(q, "q", self.kernel_q, self.stride_q)
+            if do_kv:
+                k, _ = _pool_fused(k, "k", self.kernel_kv, self.stride_kv)
+                v, _ = _pool_fused(v, "v", self.kernel_kv, self.stride_kv)
+
+            Lq, Lk = q.shape[1], k.shape[1]
+            q4 = q.reshape(B, Lq, h, d)
+            k4 = k.reshape(B, Lk, h, d)
+            v4 = v.reshape(B, Lk, h, d)
+            if (
+                self.use_flash
+                and not fa.is_disabled()
+                and jax.default_backend() == "tpu"
+                and flash_attention_supported(Lq, Lk, d)
+            ):
+                if h == 1:
+                    # [B, L, 1, d] ≡ [G, L, d]: zero-copy into the kernel
+                    out = flash_attention(
+                        q.reshape(B, Lq, d), k.reshape(B, Lk, d),
+                        v.reshape(B, Lk, d), scale,
+                    ).reshape(B, Lq, C)
+                else:
+                    # head-major transposes happen on POOLED tensors only
+                    # (4-64x smaller than the pre-pool activations)
+                    out = flash_attention(
+                        q4.transpose(0, 2, 1, 3).reshape(B * h, Lq, d),
+                        k4.transpose(0, 2, 1, 3).reshape(B * h, Lk, d),
+                        v4.transpose(0, 2, 1, 3).reshape(B * h, Lk, d),
+                        scale,
+                    ).reshape(B, h, Lq, d).transpose(0, 2, 1, 3)
+                    out = out.reshape(B, Lq, C)
             else:
-                w = None
-            t, new_thw = attention_pool(
-                t, thw, mode=self.mode, kernel=kernel, stride=stride,
-                conv_weights=w, has_cls=self.has_cls,
-            )
-            if self.mode == "conv":
-                # torch-default eps (attention.py constructs raw nn.LayerNorm)
-                t = nn.LayerNorm(
-                    epsilon=1e-5, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name=f"norm_{name}",
-                )(t)
-            return t, new_thw
-
-        out_thw = thw
-        if do_q:
-            q, out_thw = _pool(q, "q", self.kernel_q, self.stride_q)
-        if do_kv:
-            k, _ = _pool(k, "k", self.kernel_kv, self.stride_kv)
-            v, _ = _pool(v, "v", self.kernel_kv, self.stride_kv)
-
-        Lq, Lk = q.shape[2], k.shape[2]
-        if (
-            self.use_flash
-            and not fa.is_disabled()
-            and not self.has_cls
-            and jax.default_backend() == "tpu"
-            and flash_attention_supported(Lq, Lk, d)
-        ):
-            # Pallas streaming-softmax kernel: logits never touch HBM.
-            out = flash_attention(
-                q.reshape(B * h, Lq, d),
-                k.reshape(B * h, Lk, d),
-                v.reshape(B * h, Lk, d),
-                scale,
-            ).reshape(B, h, Lq, d)
+                attn = jnp.einsum(
+                    "bqhd,bkhd->bhqk", q4, k4,
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+                out = jnp.einsum(
+                    "bhqk,bkhd->bqhd", attn, v4,
+                    preferred_element_type=jnp.float32,
+                ).astype(self.dtype)
+                out = out.reshape(B, Lq, C)
+            if self.q_pool_residual:
+                out = out + q
         else:
+            # cls-token path: head-major layout (the cls token bypasses
+            # pooling, which breaks the fused-channel formulation)
+            qkv = qkv.reshape(B, L, 3, h, d).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+
+            def _pool(t, name, kernel, stride):
+                w = (_pool_param(name, kernel) if self.mode == "conv"
+                     else None)
+                t, new_thw = attention_pool(
+                    t, thw, mode=self.mode, kernel=kernel, stride=stride,
+                    conv_weights=w, has_cls=self.has_cls,
+                )
+                if self.mode == "conv":
+                    t = _norm(name, t)
+                return t, new_thw
+
+            out_thw = thw
+            if do_q:
+                q, out_thw = _pool(q, "q", self.kernel_q, self.stride_q)
+            if do_kv:
+                k, _ = _pool(k, "k", self.kernel_kv, self.stride_kv)
+                v, _ = _pool(v, "v", self.kernel_kv, self.stride_kv)
+
+            Lq = q.shape[2]
             attn = jnp.einsum(
                 "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
             ) * scale
@@ -354,10 +418,9 @@ class MultiScaleAttention(nn.Module):
             out = jnp.einsum(
                 "bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32
             ).astype(self.dtype)
-
-        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, C)
-        if self.q_pool_residual:
-            out = out + q.transpose(0, 2, 1, 3).reshape(B, Lq, C)
+            out = out.transpose(0, 2, 1, 3).reshape(B, Lq, C)
+            if self.q_pool_residual:
+                out = out + q.transpose(0, 2, 1, 3).reshape(B, Lq, C)
 
         out = nn.Dense(
             C,
