@@ -51,6 +51,18 @@ def test(cfg):
 
     loader = construct_loader(cfg, "test")
     dataset = loader.dataset
+
+    if cfg.DETECTION.ENABLE:
+        # AVA box testing: frame-mAP via the AVAMeter
+        from .detection import make_detection_eval_step
+        from .train_loop import eval_epoch_detection
+
+        state = jax.device_put(state, replicated(mesh))
+        jitted = jax.jit(make_detection_eval_step(module))
+        full_map = eval_epoch_detection(
+            cfg, mesh, jitted, state, loader, 0, loader.batch_size)
+        return {"map": full_map}
+
     num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
     assert len(dataset) % num_clips == 0
 
