@@ -413,6 +413,10 @@ def assert_and_infer_cfg(cfg: CfgNode) -> CfgNode:
         cfg.SOLVER.WARMUP_START_LR *= cfg.NUM_SHARDS
         cfg.SOLVER.COSINE_END_LR *= cfg.NUM_SHARDS
 
+    # the reference's AMP flag maps onto bf16 activations on TPU
+    if cfg.TRAIN.MIXED_PRECISION and cfg.TPU.COMPUTE_DTYPE == "float32":
+        cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+
     assert cfg.TPU.COMPUTE_DTYPE in ("float32", "bfloat16")
     assert cfg.TPU.PARAM_DTYPE in ("float32", "bfloat16")
     return cfg

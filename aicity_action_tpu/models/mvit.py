@@ -532,6 +532,102 @@ class MultiScaleBlock(nn.Module):
         return x, thw_new
 
 
+def _patch_embed_s2d(x, kernel, bias, k, s, p):
+    """Space-to-depth patch embedding.
+
+    The stem conv has C_in=3 — hopeless for the 128-lane MXU (profiled at
+    2.3 TFLOP/s). Re-expressed: pad, fold (st, sh, sw) blocks into the
+    channel dim, and convolve with a block-space kernel whose channel count
+    is MXU-friendly (96 for the 16x4 recipe). The block kernel is a zero-
+    padded rearrangement of the original weights, so the arithmetic is
+    IDENTICAL (covered by the full-model parity tests).
+
+    Requires kernel <= 2*stride per axis (true for (3,7,7)/(2,4,4)).
+    """
+    B, T, H, W, C = x.shape
+    kt, kh, kw = k
+    st, sh, sw = s
+    pt, ph, pw = p
+
+    # pad so every axis is block-divisible and all taps stay in range
+    def pad_hi(size, pad_lo, stride):
+        total = size + pad_lo
+        rem = (-total) % stride
+        return rem if rem >= pad_lo else rem + stride
+
+    pt_hi = pad_hi(T, pt, st)
+    ph_hi = pad_hi(H, ph, sh)
+    pw_hi = pad_hi(W, pw, sw)
+    xp = jnp.pad(x, ((0, 0), (pt, pt_hi), (ph, ph_hi), (pw, pw_hi), (0, 0)))
+    Tb = xp.shape[1] // st
+    Hb = xp.shape[2] // sh
+    Wb = xp.shape[3] // sw
+    # [B, Tb, st, Hb, sh, Wb, sw, C] -> [B, Tb, Hb, Wb, st*sh*sw*C]
+    xb = xp.reshape(B, Tb, st, Hb, sh, Wb, sw, C)
+    xb = xb.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+        B, Tb, Hb, Wb, st * sh * sw * C)
+
+    # block kernel: 2 blocks per axis where the kernel overhangs the stride
+    nbt = 2 if kt > st else 1
+    nbh = 2 if kh > sh else 1
+    nbw = 2 if kw > sw else 1
+    C_out = kernel.shape[-1]
+    bk = jnp.zeros((nbt, nbh, nbw, st, sh, sw, C, C_out), kernel.dtype)
+    # scatter original taps into block coordinates
+    for a in range(kt):
+        for b_ in range(kh):
+            for c_ in range(kw):
+                bk = bk.at[a // st, b_ // sh, c_ // sw,
+                           a % st, b_ % sh, c_ % sw].set(kernel[a, b_, c_])
+    bk = bk.reshape(nbt, nbh, nbw, st * sh * sw * C, C_out)
+
+    out = jax.lax.conv_general_dilated(
+        xb, bk, window_strides=(1, 1, 1), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    # valid output counts from the original conv arithmetic
+    To = (T + 2 * pt - kt) // st + 1
+    Ho = (H + 2 * ph - kh) // sh + 1
+    Wo = (W + 2 * pw - kw) // sw + 1
+    out = out[:, :To, :Ho, :Wo]
+    return out + bias
+
+
+class PatchEmbed(nn.Module):
+    """Conv3d patch stem (reference: stem_helper.py:308-338) with an
+    MXU-friendly space-to-depth formulation when the kernel overhangs the
+    stride by at most one block (:func:`_patch_embed_s2d`). Parameter layout
+    matches nn.Conv (kernel DHWIO + bias) for checkpoint conversion."""
+
+    features: int
+    kernel_size: Triple
+    strides: Triple
+    padding: Triple
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p = self.kernel_size, self.strides, self.padding
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*k, x.shape[-1], self.features), self.param_dtype,
+        ).astype(self.dtype)
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.param_dtype,
+        ).astype(self.dtype)
+        s2d_ok = all(kk <= 2 * ss for kk, ss in zip(k, s)) and all(
+            pp < ss for pp, ss in zip(p, s)
+        )
+        if s2d_ok:
+            return _patch_embed_s2d(x, kernel, bias, k, s, p)
+        return jax.lax.conv_general_dilated(
+            x, kernel, window_strides=s,
+            padding=[(p[0], p[0]), (p[1], p[1]), (p[2], p[2])],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        ) + bias
+
+
 class MViT(nn.Module):
     """MViT-v1/v2 backbone + classification head.
 
@@ -553,12 +649,11 @@ class MViT(nn.Module):
             x = x[0]
 
         B = x.shape[0]
-        p = sp.patch_padding
-        x = nn.Conv(
+        x = PatchEmbed(
             features=sp.embed_dim,
             kernel_size=sp.patch_kernel,
             strides=sp.patch_stride,
-            padding=[(p[0], p[0]), (p[1], p[1]), (p[2], p[2])],
+            padding=sp.patch_padding,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="patch_embed",
