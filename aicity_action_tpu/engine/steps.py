@@ -54,6 +54,7 @@ def make_train_step(
     mixup_fn: Optional[Callable] = None,
     gather_before_loss: bool = False,
     data_axis: str | None = None,
+    num_classes: int | None = None,
 ) -> Callable:
     """Build the jittable train step.
 
@@ -76,6 +77,10 @@ def make_train_step(
         labels = batch["labels"]
         if mixup_fn is not None:
             inputs, labels = mixup_fn(mixup_rng, inputs, labels)
+        elif (loss_name in loss_lib._SOFT_TARGET_LOSSES
+              and labels.ndim == 1 and num_classes is not None):
+            # soft-target losses need [B, C] targets; int labels one-hot
+            labels = jax.nn.one_hot(labels, num_classes)
 
         def compute_loss(params):
             preds, new_model_state = module.apply(

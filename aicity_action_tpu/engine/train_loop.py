@@ -87,6 +87,7 @@ def train(cfg):
         train_step = make_train_step(
             module, tx, cfg.MODEL.LOSS_FUNC, mixup_fn=mixup_fn,
             gather_before_loss=cfg.TRAIN.GATHER_BEFORE_LOSS,
+            num_classes=cfg.MODEL.NUM_CLASSES,
         )
         jitted_eval = jax.jit(make_eval_step(module))
     jitted_train = jax.jit(train_step, donate_argnums=0)

@@ -24,6 +24,8 @@ def build_mvit(cfg):
         dtype,
     )
     example = x if spec.direct_input else [x]
+    if cfg.DETECTION.ENABLE:
+        return module, (example, jnp.zeros((1, 5), jnp.float32))
     return module, example
 
 
