@@ -119,6 +119,10 @@ def train(cfg):
                 out[key] = jax.device_put(batch[key], b_sh)
         return out
 
+    if cfg.TRAIN.EVAL_FIRST:
+        eval_epoch(cfg, mesh, jitted_eval, state, val_loader, val_meter,
+                   start_epoch - 1, per_host_batch)
+
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
         shuffle_dataset(train_loader, cur_epoch)
         epoch_timer.epoch_tic()

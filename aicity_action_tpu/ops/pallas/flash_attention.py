@@ -10,10 +10,13 @@ Shape regime (MViT-B @448/@224): d = 96, Lk ∈ {392, 1568, 6272}; K and V for
 one (batch, head) fit in VMEM entirely, so the kernel streams q tiles against
 chunked K/V with f32 accumulation.
 
-Non-goals: causal masking (MViT attention is full), cls-token handling
-(callers fall back to the XLA path when a cls token makes lengths odd), and
-a Pallas backward (training uses a recompute-based VJP in plain XLA; the
-inference path is the perf-critical one).
+The backward is also Pallas (standard flash backward: forward saves the
+per-row logsumexp; dq tiles over q, dk/dv tile over k with q streamed
+through the grid) — the XLA-materialized VJP was ~100x slower on the
+training step.
+
+Non-goals: causal masking (MViT attention is full) and cls-token handling
+(callers fall back to the XLA path when a cls token makes lengths odd).
 """
 
 from __future__ import annotations
@@ -138,6 +141,13 @@ def flash_attention_supported(Lq: int, Lk: int, d: int) -> bool:
     return qt is not None and kt is not None
 
 
+def _tiles_for(Lq, Lk):
+    q_tile = _pick_tile(Lq, _Q_TILES, Lq)
+    k_chunk = _pick_tile(Lk, _K_TILES, Lk)
+    assert q_tile is not None and k_chunk is not None, (Lq, Lk)
+    return q_tile, k_chunk
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention(q, k, v, scale: float):
     """Streaming-softmax attention.
@@ -149,37 +159,218 @@ def flash_attention(q, k, v, scale: float):
 
     Returns ``softmax(q @ k.T * scale) @ v`` in q's dtype.
     """
-    return _flash_fwd(q, k, v, scale)[0]
+    q_tile, k_chunk = _tiles_for(q.shape[1], k.shape[1])
+    return _flash_attention_fwd_impl(q, k, v, scale, q_tile, k_chunk)
 
 
 def _flash_fwd(q, k, v, scale):
+    """Forward rule under AD: also saves the per-row logsumexp."""
+    q_tile, k_chunk = _tiles_for(q.shape[1], k.shape[1])
+    out, lse = _flash_fwd_with_lse(q, k, v, scale, q_tile, k_chunk)
+    return out, (q, k, v, out, lse)
+
+
+# ------------------------------------------------------------- backward
+# Standard flash backward (Dao et al.): the forward additionally returns the
+# per-row logsumexp; the backward recomputes probability tiles in VMEM.
+# dq kernel tiles over q; dk/dv kernel tiles over k. Without this, the VJP
+# would materialize the [Lq, Lk] logits in XLA — profiled at ~100x slower
+# on the training step.
+
+def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                          scale, k_chunk):
+    q = q_ref[0].astype(jnp.float32)
+    Lk = k_ref.shape[1]
+    num_k = Lk // k_chunk
+    TQ, d = q.shape
+
+    def body(j, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(j * k_chunk, k_chunk), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * k_chunk, k_chunk), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + p.sum(axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((TQ, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((TQ, 1), jnp.float32)
+    acc0 = jnp.zeros((TQ, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_k, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0, 0, 0] = (m + jnp.log(l))[:, 0]
+
+
+def _flash_fwd_with_lse(q, k, v, scale, q_tile, k_chunk):
+    G, Lq, d = q.shape
+    Lk = k.shape[1]
+    kernel = functools.partial(_flash_fwd_lse_kernel, scale=scale,
+                               k_chunk=k_chunk)
+    return pl.pallas_call(
+        kernel,
+        grid=(G, Lq // q_tile),
+        in_specs=[
+            pl.BlockSpec((1, q_tile, d), lambda g, i: (g, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, d), lambda g, i: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, d), lambda g, i: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, q_tile, d), lambda g, i: (g, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, q_tile), lambda g, i: (g, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, Lq, d), q.dtype),
+            # lse tiled [G, nq, 1, TQ]: the trailing (1, TQ) block equals the
+            # array dims, satisfying Mosaic's (8, 128)-or-full block rule for
+            # any q tile size
+            jax.ShapeDtypeStruct((G, Lq // q_tile, 1, q_tile), jnp.float32),
+        ),
+        interpret=INTERPRET,
+    )(q, k, v)
+
+
+def _flash_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref,
+                     *, scale, k_chunk):
+    q = q_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0, 0][:, None]
+    delta = delta_ref[0, 0, 0][:, None]
+    Lk = k_ref.shape[1]
+    num_k = Lk // k_chunk
+    TQ, d = q.shape
+
+    def body(j, dq):
+        k = k_ref[0, pl.ds(j * k_chunk, k_chunk), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * k_chunk, k_chunk), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        return dq + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, num_k, body, jnp.zeros((TQ, d), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                      dk_ref, dv_ref, *, scale):
+    """Grid (G, k_tiles, q_chunks): the q axis streams through the grid's
+    innermost dim while the dk/dv output block (constant over it) stays
+    resident in VMEM and accumulates in f32."""
+    i = pl.program_id(2)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    q = q_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0, 0][:, None]
+    delta = delta_ref[0, 0, 0][:, None]
+
+    @pl.when(i == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse)  # [q_chunk, TK]
+    dv_ref[0] += jax.lax.dot_general(
+        p, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale
+    dk_ref[0] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _flash_bwd(scale, res, g):
+    q, k, v, out, lse = res
     G, Lq, d = q.shape
     Lk = k.shape[1]
     q_tile = _pick_tile(Lq, _Q_TILES, Lq)
     k_chunk = _pick_tile(Lk, _K_TILES, Lk)
-    assert q_tile is not None and k_chunk is not None, (Lq, Lk)
-    out = _flash_attention_fwd_impl(q, k, v, scale, q_tile, k_chunk)
-    return out, (q, k, v)
+    # delta = rowsum(dO * O), precomputed in XLA (cheap elementwise)
+    delta = (g.astype(jnp.float32) * out.astype(jnp.float32)).sum(-1)
+    delta = delta.reshape(G, Lq // q_tile, 1, q_tile)  # match lse tiling
 
+    dq = pl.pallas_call(
+        functools.partial(_flash_dq_kernel, scale=scale, k_chunk=k_chunk),
+        grid=(G, Lq // q_tile),
+        in_specs=[
+            pl.BlockSpec((1, q_tile, d), lambda gg, i: (gg, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, d), lambda gg, i: (gg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, d), lambda gg, i: (gg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_tile, d), lambda gg, i: (gg, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, q_tile), lambda gg, i: (gg, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, q_tile), lambda gg, i: (gg, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, q_tile, d), lambda gg, i: (gg, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, Lq, d), q.dtype),
+        interpret=INTERPRET,
+    )(q, k, v, g, lse, delta)
 
-def _flash_bwd(scale, res, g):
-    """Recompute-based VJP in plain XLA (training path).
-
-    Standard softmax-attention gradients with the logits recomputed; XLA may
-    still materialize [Lq, Lk] here, which is acceptable for training (remat
-    already bounds memory) — the inference path never takes this branch.
-    """
-    q, k, v = res
-    qf, kf, vf, gf = (t.astype(jnp.float32) for t in (q, k, v, g))
-    s = jnp.einsum("gqd,gkd->gqk", qf, kf) * scale
-    p = jax.nn.softmax(s, axis=-1)
-    dv = jnp.einsum("gqk,gqd->gkd", p, gf)
-    dp = jnp.einsum("gqd,gkd->gqk", gf, vf)
-    tmp = (dp * p).sum(axis=-1, keepdims=True)
-    ds = p * (dp - tmp) * scale
-    dq = jnp.einsum("gqk,gkd->gqd", ds, kf)
-    dk = jnp.einsum("gqk,gqd->gkd", ds, qf)
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    # dk/dv: tile over k, stream q chunks through the innermost grid dim
+    # (q_chunk must equal the fwd q_tile: lse/delta are tiled by it)
+    k_tile = _pick_tile(Lk, _K_TILES, Lk)
+    q_chunk = q_tile
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_dkv_kernel, scale=scale),
+        grid=(G, Lk // k_tile, Lq // q_chunk),
+        in_specs=[
+            pl.BlockSpec((1, q_chunk, d), lambda gg, j, i: (gg, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_tile, d), lambda gg, j, i: (gg, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_tile, d), lambda gg, j, i: (gg, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_chunk, d), lambda gg, j, i: (gg, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, q_chunk), lambda gg, j, i: (gg, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, q_chunk), lambda gg, j, i: (gg, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, k_tile, d), lambda gg, j, i: (gg, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_tile, d), lambda gg, j, i: (gg, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, Lk, d), jnp.float32),
+            jax.ShapeDtypeStruct((G, Lk, d), jnp.float32),
+        ),
+        interpret=INTERPRET,
+    )(q, k, v, g, lse, delta)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 flash_attention.defvjp(lambda q, k, v, scale: _flash_fwd(q, k, v, scale),

@@ -22,7 +22,7 @@ import time
 
 import numpy as np
 
-BATCH = 8
+BATCH = 4
 CROP = 448
 ITERS = 10
 A100_EST_CLIPS_PER_SEC = 30.0
@@ -67,7 +67,7 @@ def main():
     clips_per_sec = BATCH / dt
 
     print(json.dumps({
-        "metric": "clips/sec/chip MViT-v2-B 16x4@448 bf16 inference (bs=8)",
+        "metric": "clips/sec/chip MViT-v2-B 16x4@448 bf16 inference (bs=4)",
         "value": round(clips_per_sec, 2),
         "unit": "clips/sec/chip",
         "vs_baseline": round(clips_per_sec / TARGET_PER_CHIP, 3),
