@@ -120,17 +120,29 @@ class VideoCsvDataset:
         for retry in range(_NUM_RETRIES):
             path = self._path_to_videos[index]
             try:
-                frames = decoder.decode(
-                    path,
-                    cfg.DATA.SAMPLING_RATE,
-                    cfg.DATA.NUM_FRAMES,
-                    clip_idx=temporal_idx,
-                    num_clips=cfg.TEST.NUM_ENSEMBLE_VIEWS,
-                    target_fps=cfg.DATA.TARGET_FPS,
-                    backend=cfg.DATA.DECODING_BACKEND,
-                    use_offset=cfg.DATA.USE_OFFSET_SAMPLING,
-                    rng=rng,
-                )
+                if cfg.DATA.UNIFORM_SAMPLE_FRAME:
+                    # segment-uniform sampling (TSM-style) instead of a
+                    # fixed-stride clip (reference kinetics.py path)
+                    from .frame_datasets import get_seq_frames
+
+                    video_len, _ = decoder.cv2_video_meta(path)
+                    idxs = get_seq_frames(
+                        max(video_len, 1), cfg.DATA.NUM_FRAMES,
+                        self.mode, rng)
+                    frames = decoder._cv2_decode_indices(
+                        path, np.asarray(idxs))
+                else:
+                    frames = decoder.decode(
+                        path,
+                        cfg.DATA.SAMPLING_RATE,
+                        cfg.DATA.NUM_FRAMES,
+                        clip_idx=temporal_idx,
+                        num_clips=cfg.TEST.NUM_ENSEMBLE_VIEWS,
+                        target_fps=cfg.DATA.TARGET_FPS,
+                        backend=cfg.DATA.DECODING_BACKEND,
+                        use_offset=cfg.DATA.USE_OFFSET_SAMPLING,
+                        rng=rng,
+                    )
             except Exception:
                 frames = None
             if frames is not None:
