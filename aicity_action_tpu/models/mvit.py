@@ -608,6 +608,7 @@ class PatchEmbed(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        x = x.astype(self.dtype)  # promote like nn.Conv does
         k, s, p = self.kernel_size, self.strides, self.padding
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),

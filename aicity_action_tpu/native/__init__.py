@@ -48,6 +48,13 @@ def _load():
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.crop_resize_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.normalize_u8.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
@@ -59,6 +66,31 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def crop_resize_u8(
+    frames: np.ndarray,
+    roi: tuple[int, int, int, int],
+    out_size: int,
+) -> np.ndarray | None:
+    """Fused crop→resize keeping uint8 (normalize on-device).
+
+    Returns uint8 [T, out_size, out_size, 3] or None when unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    T, H, W, C = frames.shape
+    assert C == 3
+    x1, y1, x2, y2 = (int(v) for v in roi)
+    out = np.empty((T, out_size, out_size, 3), np.uint8)
+    lib.crop_resize_u8(
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        T, H, W, x1, y1, x2, y2, out_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out
 
 
 def crop_resize_normalize(

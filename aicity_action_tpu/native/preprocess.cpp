@@ -107,6 +107,60 @@ void crop_resize_normalize(const uint8_t* frames, int T, int H, int W,
     delete[] xi0; delete[] xi1; delete[] xw;
 }
 
+// Crop + bilinear resize keeping uint8 (normalization happens on-device:
+// shipping u8 to the accelerator moves 4x fewer bytes than f32).
+void crop_resize_u8(const uint8_t* frames, int T, int H, int W,
+                    int x1, int y1, int x2, int y2,
+                    int out_size, uint8_t* out) {
+    if (x1 < 0) x1 = 0;
+    if (y1 < 0) y1 = 0;
+    if (x2 > W) x2 = W;
+    if (y2 > H) y2 = H;
+    const int cw = x2 - x1;
+    const int ch = y2 - y1;
+    if (cw <= 0 || ch <= 0) return;
+    const float sy = (float)ch / (float)out_size;
+    const float sx = (float)cw / (float)out_size;
+    int* yi0 = new int[out_size];
+    int* yi1 = new int[out_size];
+    float* yw = new float[out_size];
+    int* xi0 = new int[out_size];
+    int* xi1 = new int[out_size];
+    float* xw = new float[out_size];
+    bilinear_row_weights(out_size, y1, y2, sy, yi0, yi1, yw);
+    bilinear_row_weights(out_size, x1, x2, sx, xi0, xi1, xw);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int t = 0; t < T; ++t) {
+        const uint8_t* src = frames + (size_t)t * H * W * 3;
+        uint8_t* dst = out + (size_t)t * out_size * out_size * 3;
+        for (int oy = 0; oy < out_size; ++oy) {
+            const uint8_t* r0 = src + (size_t)yi0[oy] * W * 3;
+            const uint8_t* r1 = src + (size_t)yi1[oy] * W * 3;
+            const float wy = yw[oy];
+            uint8_t* drow = dst + (size_t)oy * out_size * 3;
+            for (int ox = 0; ox < out_size; ++ox) {
+                const int a = xi0[ox] * 3, b = xi1[ox] * 3;
+                const float wx = xw[ox];
+                const float w00 = (1.f - wy) * (1.f - wx);
+                const float w01 = (1.f - wy) * wx;
+                const float w10 = wy * (1.f - wx);
+                const float w11 = wy * wx;
+                for (int c = 0; c < 3; ++c) {
+                    const float v = w00 * r0[a + c] + w01 * r0[b + c]
+                                  + w10 * r1[a + c] + w11 * r1[b + c];
+                    int iv = (int)(v + 0.5f);
+                    drow[ox * 3 + c] = (uint8_t)(iv < 0 ? 0
+                                                 : (iv > 255 ? 255 : iv));
+                }
+            }
+        }
+    }
+    delete[] yi0; delete[] yi1; delete[] yw;
+    delete[] xi0; delete[] xi1; delete[] xw;
+}
+
 // Plain normalize without resize: uint8 [N, 3] pixels -> float32.
 void normalize_u8(const uint8_t* src, int64_t n_pix, const float* mean,
                   const float* stdv, float* out) {

@@ -97,7 +97,11 @@ class WindowDataset:
         cap = cv2.VideoCapture(self.video_path)
         out = {}
         need = sorted(set(int(i) for i in idxs))
-        i = 0
+        # seek near the window start, then grab sequentially — windows sit
+        # deep inside long videos and scanning from frame 0 would make the
+        # whole pass O(frames^2)
+        cap.set(cv2.CAP_PROP_POS_FRAMES, need[0])
+        i = need[0]
         while need:
             ok = cap.grab()
             if not ok:
@@ -151,6 +155,89 @@ class WindowDataset:
         return inputs, t0, t1  # loader collates (inputs, label, index, meta)
 
 
+    def stream_windows(self, raw_u8: bool = False):
+        """Single-pass streaming iterator: decode every frame ONCE and emit
+        preprocessed windows from a rolling buffer.
+
+        Overlapping windows (stride < length) make per-window seeking decode
+        each frame ~length/stride times; a sequential sweep with a buffer is
+        the bandwidth-optimal host pipeline for the dense sliding-window
+        workload (this is the default scoring path).
+
+        ``raw_u8``: emit uint8 crops and leave normalization to the device —
+        4x less host→device traffic (the scorer enables this for
+        single-pathway models).
+        Yields ``(inputs, t0, t1)`` in t0 order.
+        """
+        from .. import native
+
+        # per-window sampled indices (ascending within and across windows)
+        plans = [
+            (t0, t1, sample_indices(t0, t1, self.frame_length,
+                                    self.num_frames))
+            for t0, t1 in self.windows
+        ]
+        cap = cv2.VideoCapture(self.video_path)
+        buf: dict[int, np.ndarray] = {}
+        next_emit = 0
+        frame_idx = 0
+        eof = False
+
+        def build(idxs):
+            last = max(buf) if buf else 0
+            frames = np.stack([
+                buf[int(i)] if int(i) in buf else buf[min(last, max(buf))]
+                for i in idxs
+            ])
+            if self._roi_px is None:
+                h, w = frames.shape[1:3]
+                x1, y1, x2, y2 = self.roi
+                self._roi_px = (int(w * x1), int(h * y1),
+                                int(w * x2), int(h * y2))
+            s = self.frame_size
+            if raw_u8:
+                u8 = native.crop_resize_u8(frames, self._roi_px, s)
+                if u8 is None:
+                    x1, y1, x2, y2 = self._roi_px
+                    cropped = frames[:, y1:y2, x1:x2]
+                    u8 = np.empty((frames.shape[0], s, s, 3), np.uint8)
+                    for i in range(frames.shape[0]):
+                        u8[i] = cv2.resize(cropped[i], (s, s),
+                                           interpolation=cv2.INTER_LINEAR)
+                return [u8]
+            x = native.crop_resize_normalize(
+                frames, self._roi_px, s, self.mean, self.std)
+            if x is None:
+                x1, y1, x2, y2 = self._roi_px
+                cropped = frames[:, y1:y2, x1:x2]
+                resized = np.empty((frames.shape[0], s, s, 3), np.uint8)
+                for i in range(frames.shape[0]):
+                    resized[i] = cv2.resize(
+                        cropped[i], (s, s), interpolation=cv2.INTER_LINEAR)
+                x = (resized.astype(np.float32) / 255.0 - self.mean) / self.std
+            return pack_pathway_output(x, self.arch_pathways,
+                                       self.slowfast_alpha)
+
+        while next_emit < len(plans):
+            t0, t1, idxs = plans[next_emit]
+            need_until = int(idxs[-1])
+            while frame_idx <= need_until and not eof:
+                ok, frame = cap.read()
+                if not ok:
+                    eof = True
+                    break
+                buf[frame_idx] = frame[:, :, ::-1]
+                frame_idx += 1
+            yield build(idxs), t0, t1
+            next_emit += 1
+            # prune frames no future window needs
+            if next_emit < len(plans):
+                low = int(plans[next_emit][2][0])
+                for i in [i for i in buf if i < low]:
+                    del buf[i]
+        cap.release()
+
+
 class _WindowItemAdapter:
     """Adapts WindowDataset items to the Loader's (inputs, label, index, meta)
     contract, carrying (t0, t1) through label/index."""
@@ -180,13 +267,81 @@ class WindowScorer:
         self.num_workers = num_workers
         self._b_sh = batch_sharding(mesh)
         self._params = jax.device_put(params, replicated(mesh))
+        self._module = module
         self._fn = jax.jit(
             lambda p, xs: module.apply({"params": p}, xs, train=False)
         )
         self._jax = jax
 
-    def score_video(self, dataset: WindowDataset) -> list:
-        """Returns sorted ``[(t0, t1, scores[num_class])]``."""
+    def score_video(self, dataset: WindowDataset, *,
+                    streaming: bool = True) -> list:
+        """Returns sorted ``[(t0, t1, scores[num_class])]``.
+
+        ``streaming`` (default): single-pass decode feeding batched windows,
+        with device dispatch overlapped against host decode (results are
+        fetched only at the end). Set False for the seek-based threaded
+        loader (useful with decord, which does true indexed reads).
+        """
+        if streaming and dataset.backend == "cv2":
+            return self._score_streaming(dataset)
+        return self._score_loader(dataset)
+
+    def _score_streaming(self, dataset: WindowDataset) -> list:
+        jax = self._jax
+        import jax.numpy as jnp
+        # single-pathway models take the u8 fast path: normalize on-device,
+        # ship 4x fewer bytes host->device
+        raw_u8 = dataset.arch_pathways == 1
+        if raw_u8:
+            mean = jnp.asarray(dataset.mean, jnp.float32)
+            std = jnp.asarray(dataset.std, jnp.float32)
+            module = self._module
+            params = self._params
+
+            def fwd_u8(p, xs):
+                x = (xs[0].astype(jnp.float32) / 255.0 - mean) / std
+                return module.apply({"params": p}, [x], train=False)
+
+            fn = jax.jit(fwd_u8)
+        else:
+            fn = self._fn
+        preds = []
+        pending = []  # (device_out, [(t0, t1)]) — fetched after dispatch
+        cur_inputs, cur_spans = [], []
+
+        def flush():
+            if not cur_inputs:
+                return
+            n = len(cur_inputs)
+            xs = [
+                np.stack([ci[p] for ci in cur_inputs])
+                for p in range(len(cur_inputs[0]))
+            ]
+            if n < self.batch_size:
+                pad = self.batch_size - n
+                xs = [np.concatenate([x, np.repeat(x[-1:], pad, 0)])
+                      for x in xs]
+            xs = [jax.device_put(x, self._b_sh) for x in xs]
+            out = fn(self._params, xs)  # async dispatch
+            pending.append((out, list(cur_spans)))
+            cur_inputs.clear()
+            cur_spans.clear()
+
+        with self.mesh:
+            for inputs, t0, t1 in dataset.stream_windows(raw_u8=raw_u8):
+                cur_inputs.append(inputs)
+                cur_spans.append((t0, t1))
+                if len(cur_inputs) == self.batch_size:
+                    flush()
+            flush()
+            for out, spans in pending:
+                arr = np.asarray(jax.device_get(out), np.float32)
+                for b, (t0, t1) in enumerate(spans):
+                    preds.append((t0, t1, arr[b]))
+        preds.sort(key=lambda x: x[0])
+        return preds
+
+    def _score_loader(self, dataset: WindowDataset) -> list:
         jax = self._jax
         loader = Loader(
             _WindowItemAdapter(dataset), self.batch_size,
