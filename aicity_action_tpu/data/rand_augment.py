@@ -60,7 +60,7 @@ def _solarize_add(img, add, thresh=128):
 
 
 # name -> (fn, level->arg mapping); "inc" variants grow severity with level
-def _enhance_factor(level, mstd_inc):
+def _enhance_factor(level):
     # inc1: factor = 1 + 0.9*level/10 in a random direction
     mag = 0.9 * level / _MAX_LEVEL
     if random.random() < 0.5:
