@@ -31,7 +31,42 @@ def parse_args():
     p.add_argument("--chunk_sort_base", default="length",
                    choices=["length", "score"])
     p.add_argument("--use_tight_times", action="store_true")
+    p.add_argument("--graph_path", default=None,
+                   help="write per-(video, class) score-curve PNGs")
     return p.parse_args()
+
+
+def _plot_curves(anno_data, per_frame, classes, graph_path,
+                 video_fps=30.0):
+    """Score curves with GT boundaries (reference: aicity_inf_graph.py
+    plotting branch, one figure of 3 views per (vid, class))."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(graph_path, exist_ok=True)
+    for vid, annos in anno_data.items():
+        for action_id in classes:
+            anno = [o for o in annos if o[-1] == action_id]
+            if not anno:
+                continue
+            fig, axes = plt.subplots(1, max(len(anno[:3]), 1),
+                                     figsize=(20, 9), squeeze=False)
+            for i, (file_id, _, t0, t1, _) in enumerate(anno[:3]):
+                if file_id not in per_frame:
+                    continue
+                scores = per_frame[file_id][:, action_id]
+                ax = axes[0][i]
+                ax.plot(range(len(scores)), scores)
+                ax.axvline(x=int(t0 * video_fps), color="orange",
+                           linestyle="dashed")
+                ax.axvline(x=int(t1 * video_fps), color="orange",
+                           linestyle="dashed")
+                ax.set_title(f"{file_id} (action {action_id})")
+            fig.savefig(os.path.join(
+                graph_path, f"{vid}.action_{action_id}.png"))
+            plt.close(fig)
 
 
 def main():
@@ -65,6 +100,9 @@ def main():
 
     thresholds = pp.derive_thresholds(
         anno_data, per_frame, classes, thres_take=args.thres_take)
+
+    if args.graph_path:
+        _plot_curves(anno_data, per_frame, classes, args.graph_path)
 
     if args.replace_thres_file:
         for line in open(args.replace_thres_file):
