@@ -146,7 +146,12 @@ def eval_contrastive_epoch(cfg, mesh, feature_fn, state, loader, cur_epoch,
 
 
 def test_contrastive(cfg, save_features_path: str | None = None):
-    """Retrieval test (reference: test_net_contrastive.py:173-226)."""
+    """Retrieval test (reference: test_net_contrastive.py:173-226).
+
+    With ``save_features_path`` (TEST.ENABLE_SAVE semantics), the video
+    features and item indices are pickled as ``(features [N, D], ids [N])``
+    — the format tools/inference_videotext.py consumes.
+    """
     init_distributed(cfg)
     setup_logging(cfg.OUTPUT_DIR)
     mesh = make_mesh(cfg)
@@ -157,12 +162,31 @@ def test_contrastive(cfg, save_features_path: str | None = None):
 
     loader = construct_loader(cfg, "test")
     feature_fn = jax.jit(make_feature_step(module))
-    stats = eval_contrastive_epoch(
-        cfg, mesh, feature_fn, state, loader, 0, loader.batch_size)
+
+    vs, ts, ls, ids = [], [], [], []
+    b_sh = batch_sharding(mesh)
+    with mesh:
+        for batch in loader:
+            batch, n_valid = _pad_batch_tokens(batch, loader.batch_size)
+            dev = _put(batch, b_sh)
+            v, t, _ = feature_fn(state.params, dev)
+            vs.append(np.asarray(jax.device_get(v), np.float32)[:n_valid])
+            ts.append(np.asarray(jax.device_get(t), np.float32)[:n_valid])
+            ls.append(batch["labels"][:n_valid])
+            ids.append(batch["index"][:n_valid])
+    video_feats = np.concatenate(vs)
+    text_feats = np.concatenate(ts)
+    labels = np.concatenate(ls)
+    stats = retrieval_metrics(video_feats, text_feats, labels)
+    stats["_type"] = "contrastive_test"
+    from ..utils.logging import log_json_stats
+
+    log_json_stats(stats)
 
     if save_features_path:
         import pickle
 
         with open(save_features_path, "wb") as f:
-            pickle.dump(stats, f)
+            pickle.dump((video_feats, np.concatenate(ids)), f)
+        logger.info("Saved features to %s", save_features_path)
     return stats

@@ -45,6 +45,20 @@ def _pad_batch(batch: dict, size: int) -> tuple[dict, int]:
     return out, n
 
 
+def _errors_mixed(preds: np.ndarray, labels_a: np.ndarray,
+                  labels_b: np.ndarray, ks=(1, 5)):
+    """Top-k errors under mixup: correct if top-k hits either source label."""
+    max_k = min(max(ks), preds.shape[1])
+    top = np.argsort(-preds, axis=1)[:, :max_k]
+    out = []
+    for k in ks:
+        k = min(k, preds.shape[1])
+        hit = ((top[:, :k] == labels_a[:, None])
+               | (top[:, :k] == labels_b[:, None])).any(axis=1)
+        out.append((1.0 - hit.mean()) * 100.0)
+    return out
+
+
 def _errors(preds: np.ndarray, labels: np.ndarray, ks=(1, 5)):
     max_k = min(max(ks), preds.shape[1])
     top = np.argsort(-preds, axis=1)[:, :max_k]
@@ -77,6 +91,7 @@ def train(cfg):
     state, start_epoch = cu.load_train_checkpoint(cfg, state)
 
     detection = cfg.DETECTION.ENABLE
+    mixup_fn = None
     if detection:
         from .detection import make_detection_eval_step, make_detection_train_step
 
@@ -145,7 +160,17 @@ def train(cfg):
                 preds_np = np.asarray(
                     jax.device_get(preds), np.float32)[:n_valid]
                 if not detection and labels_np.ndim == 1:
-                    top1, top5 = _errors(preds_np, labels_np[:n_valid])
+                    if mixup_fn is not None:
+                        # mixup stats: a prediction counts as correct if it
+                        # hits either of the two mixed source labels
+                        # (reference train_net.py:248-258 top-2 merge);
+                        # sample i was mixed with sample B-1-i of the
+                        # (padded) batch
+                        partners = labels_np[::-1][:n_valid]
+                        top1, top5 = _errors_mixed(
+                            preds_np, labels_np[:n_valid], partners)
+                    else:
+                        top1, top5 = _errors(preds_np, labels_np[:n_valid])
                 else:
                     top1 = top5 = None
                 lr = float(lr_schedule(int(np.asarray(state.step)) - 1))
