@@ -17,7 +17,6 @@ TPU-native notes:
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional
 
 import flax.struct
 import jax

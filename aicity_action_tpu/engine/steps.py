@@ -16,8 +16,6 @@ TPU-native re-design of the reference's per-iteration loop
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Callable, Optional
 
 import flax.struct

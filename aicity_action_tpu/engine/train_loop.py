@@ -14,7 +14,6 @@ import pprint
 import jax
 import numpy as np
 
-from ..config.defaults import assert_and_infer_cfg  # noqa: F401 (re-export)
 from ..data.loader import construct_loader, shuffle_dataset
 from ..data.mixup import build_mixup_from_cfg
 from ..models.build import build_model_with_state

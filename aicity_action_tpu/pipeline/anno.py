@@ -16,7 +16,6 @@ import os
 from collections import defaultdict
 from typing import Callable, Optional
 
-import numpy as np
 
 
 def time2int(time_str: str) -> int:

@@ -14,7 +14,6 @@ per-dataset predictions / video-text features.
 from __future__ import annotations
 
 import re
-from collections import defaultdict
 
 import numpy as np
 
