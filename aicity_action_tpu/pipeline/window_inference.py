@@ -263,7 +263,9 @@ class WindowScorer:
         from ..parallel.mesh import batch_sharding, replicated
 
         self.mesh = mesh
-        self.batch_size = batch_size
+        # the batch shards over the mesh's data axis — round up to a multiple
+        n_data = int(mesh.shape[mesh.axis_names[0]])
+        self.batch_size = -(-batch_size // n_data) * n_data
         self.num_workers = num_workers
         self._b_sh = batch_sharding(mesh)
         self._params = jax.device_put(params, replicated(mesh))
