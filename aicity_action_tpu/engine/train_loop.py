@@ -142,11 +142,20 @@ def train(cfg):
         epoch_timer.epoch_tic()
         train_meter.iter_tic()
 
+        from ..parallel.prefetch import prefetch_to_device
+
+        def pad_and_put(batch):
+            padded, n_valid = _pad_batch(batch, per_host_batch)
+            return put(padded), padded["labels"], n_valid
+
         with mesh:
-            for cur_iter, batch in enumerate(train_loader):
-                batch, n_valid = _pad_batch(batch, per_host_batch)
-                labels_np = batch["labels"]
-                dev_batch = put(batch)
+            prefetched = prefetch_to_device(
+                train_loader,
+                pad_and_put,
+                lookahead=cfg.TPU.PREFETCH_DEPTH,
+            )
+            for cur_iter, (_, (dev_batch, labels_np, n_valid)) in enumerate(
+                    prefetched):
                 train_meter.data_toc()
 
                 state, metrics, preds = jitted_train(state, dev_batch, rng)
