@@ -108,7 +108,14 @@ def train(cfg):
 
     b_sh = batch_sharding(mesh)
     repl = replicated(mesh)
-    state = jax.device_put(state, repl)
+    if cfg.SOLVER.OPTIMIZING_METHOD.startswith("zero_"):
+        # ZeRO-1: optimizer moments sharded over the data axis
+        # (reference zero_sgd/zero_adamw, optimizer.py:142-155,189-199)
+        from ..parallel.tp import zero1_state_shardings
+
+        state = jax.device_put(state, zero1_state_shardings(mesh, state))
+    else:
+        state = jax.device_put(state, repl)
     rng = jax.device_put(jax.random.PRNGKey(cfg.RNG_SEED), repl)
 
     train_meter = TrainMeter(steps_per_epoch, cfg)

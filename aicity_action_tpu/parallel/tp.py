@@ -53,6 +53,56 @@ def mvit_param_shardings(mesh: Mesh, params, model_axis: str = "model"):
     return jax.tree_util.tree_map_with_path(make, params)
 
 
+def zero1_opt_shardings(mesh: Mesh, opt_state, data_axis: str = "data"):
+    """ZeRO-1: shard optimizer moments over the DATA axis.
+
+    TPU-native equivalent of ``ZeroRedundancyOptimizer``
+    (reference: slowfast/models/optimizer.py:142-155,189-199 —
+    ``zero_sgd`` / ``zero_adamw`` with ``parameters_as_bucket_view``).
+    The torch version buckets whole parameters round-robin across ranks;
+    under GSPMD the natural equivalent is a ``NamedSharding`` over the data
+    axis on each moment tensor — XLA keeps the adam/momentum update local to
+    each shard and all-gathers nothing (the param update itself still sees
+    replicated params, so only mu/nu memory shrinks by 1/dp, which is
+    exactly ZeRO *stage 1*).
+
+    Each leaf is sharded along its largest axis divisible by the data-axis
+    size; indivisible leaves (scalars, small 1-D vectors) stay replicated.
+    """
+    if data_axis not in mesh.axis_names:
+        return jax.tree.map(lambda _: NamedSharding(mesh, P()), opt_state)
+    n = mesh.shape[data_axis]
+
+    def spec(leaf):
+        if not hasattr(leaf, "ndim") or leaf.ndim == 0:
+            return NamedSharding(mesh, P())
+        dims = list(getattr(leaf, "shape", ()))
+        # largest divisible axis → best balance, fewest padded shards
+        best, best_size = None, 0
+        for i, d in enumerate(dims):
+            if d % n == 0 and d > best_size:
+                best, best_size = i, d
+        if best is None:
+            return NamedSharding(mesh, P())
+        parts = [None] * len(dims)
+        parts[best] = data_axis
+        return NamedSharding(mesh, P(*parts))
+
+    return jax.tree.map(spec, opt_state)
+
+
+def zero1_state_shardings(mesh: Mesh, state, data_axis: str = "data"):
+    """Shardings for a TrainState under ZeRO-1: params/model_state
+    replicated, optimizer moments sharded over the data axis."""
+    repl = NamedSharding(mesh, P())
+    return state.replace(
+        step=repl,
+        params=jax.tree.map(lambda _: repl, state.params),
+        opt_state=zero1_opt_shardings(mesh, state.opt_state, data_axis),
+        model_state=jax.tree.map(lambda _: repl, state.model_state),
+    )
+
+
 def state_shardings(mesh: Mesh, state, model_axis: str = "model"):
     """Shardings for a whole TrainState: params + matching optimizer moments
     (adam mu/nu have the same shapes as params and inherit their specs)."""

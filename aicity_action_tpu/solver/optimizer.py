@@ -10,9 +10,12 @@ the reference's per-group torch param lists become pytree *masks*:
 - cross-projection heads may use a different LR
   (`optimizer.py:85-89` — implemented as a per-leaf LR scale mask)
 
-ZeRO-style optimizer-state sharding is not hand-rolled: optimizer state is a
-pytree that jit shards like any other array (see parallel/mesh.py), which is
-the TPU-native equivalent of ``ZeroRedundancyOptimizer``.
+ZeRO-1 (``OPTIMIZING_METHOD=zero_sgd|zero_adamw``, reference
+`optimizer.py:142-155,189-199`): the optax update rule is identical to the
+non-zero variant; the state sharding lives in
+``parallel/tp.py:zero1_state_shardings`` — optimizer moments are annotated
+with a ``NamedSharding`` over the data axis (train_loop applies it), so
+mu/nu memory shrinks by 1/dp exactly like ``ZeroRedundancyOptimizer``.
 
 Optimizers: sgd (momentum/nesterov/dampening), adam, adamw — matching torch
 update rules through optax.

@@ -13,7 +13,10 @@ from aicity_action_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
 )
-from aicity_action_tpu.parallel.tp import mvit_param_shardings
+from aicity_action_tpu.parallel.tp import (
+    mvit_param_shardings,
+    zero1_opt_shardings,
+)
 
 
 def test_make_mesh_default_data_axis():
@@ -82,3 +85,66 @@ def test_tp_param_sharding_rules():
     with mesh:
         out = f(p, jax.device_put(x, batch_sharding(mesh)))
     np.testing.assert_allclose(np.asarray(out), 32 * 128, rtol=1e-5)
+
+
+def test_zero1_opt_sharding_shards_moments_over_data_axis():
+    """ZeRO-1: adam mu/nu sharded over 'data', scalars replicated, and the
+    sharded optimizer step matches the replicated one bit-for-bit.
+
+    Reference equivalence: ZeroRedundancyOptimizer zero_sgd/zero_adamw
+    (/root/reference/slowfast/models/optimizer.py:142-155,189-199)."""
+    import optax
+
+    cfg = get_cfg()
+    mesh = make_mesh(cfg)
+    params = {
+        "w": jnp.ones((16, 24)),   # 16 % 8 == 0 -> sharded on dim 0
+        "b": jnp.ones((3,)),       # 3 % 8 != 0 -> replicated
+    }
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(params)
+    sh = zero1_opt_shardings(mesh, opt_state)
+
+    flat = jax.tree.leaves(sh)
+    specs = {tuple(s.spec) for s in flat}
+    # w's moments: largest divisible axis is dim 1 (24 % 8 == 0, 24 > 16)
+    assert (None, "data") in specs
+    # b's moments + the step counter stay replicated
+    assert () in specs
+    shard_state = jax.device_put(opt_state, sh)
+
+    grads = {"w": jnp.full((16, 24), 0.1), "b": jnp.full((3,), 0.2)}
+    with mesh:
+        upd_s, st_s = jax.jit(tx.update)(grads, shard_state, params)
+    upd_r, _ = tx.update(grads, opt_state, params)
+    for a, b in zip(jax.tree.leaves(upd_s), jax.tree.leaves(upd_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_zero1_train_state_shardings():
+    """zero1_state_shardings keeps params replicated, shards moments."""
+    import optax
+
+    from aicity_action_tpu.engine.steps import TrainState
+    from aicity_action_tpu.parallel.tp import zero1_state_shardings
+
+    cfg = get_cfg()
+    mesh = make_mesh(cfg)
+    params = {"w": jnp.ones((16, 24)), "b": jnp.ones((3,))}
+    state = TrainState.create(params, optax.adamw(1e-3))
+    sh = zero1_state_shardings(mesh, state)
+    assert sh.params["w"].spec == P()
+    sharded = [
+        s for s in jax.tree.leaves(sh.opt_state)
+        if any(ax is not None for ax in s.spec)
+    ]
+    assert len(sharded) >= 2  # mu['w'] and nu['w']
+    st = jax.device_put(state, sh)
+    # a donated jitted identity keeps the sharding
+    out = jax.jit(lambda s: s)(st)
+    mu_shard = [
+        x for x in jax.tree.leaves(out.opt_state)
+        if hasattr(x, "sharding")
+        and any(ax is not None for ax in x.sharding.spec)
+    ]
+    assert mu_shard
