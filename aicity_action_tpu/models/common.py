@@ -103,3 +103,54 @@ def round_width(width: float, multiplier: float, min_width: int = 1, divisor: in
 LayerNorm6 = lambda name=None, dtype=jnp.float32, param_dtype=jnp.float32: nn.LayerNorm(  # noqa: E731
     epsilon=1e-6, dtype=dtype, param_dtype=param_dtype, name=name
 )
+
+
+class FusedLayerNorm(nn.Module):
+    """LayerNorm backed by the Pallas kernel on TPU (ops/pallas/layer_norm).
+
+    Param names/shapes match ``nn.LayerNorm`` (``scale``/``bias`` of width
+    ``C // groups``) so checkpoint conversion is unchanged. ``groups`` > 1
+    normalizes per channel group with SHARED params — the reference's
+    per-head ``nn.LayerNorm(head_dim)`` inside attention pooling
+    (`attention.py:65,338`) applied without leaving the fused ``[B, L, h*d]``
+    layout. Falls back to plain XLA math off-TPU (CPU tests) and for shapes
+    the kernel does not tile.
+    """
+
+    epsilon: float = 1e-6
+    groups: int = 1
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.pallas import flash_attention as _fa
+        from ..ops.pallas.layer_norm import (
+            fused_layer_norm,
+            layer_norm_supported,
+        )
+
+        C = x.shape[-1]
+        dg = C // self.groups
+        scale = self.param("scale", nn.initializers.ones, (dg,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (dg,),
+                          self.param_dtype)
+        x = x.astype(self.dtype)
+        if (
+            jax.default_backend() == "tpu"
+            and not _fa.is_disabled()
+            and layer_norm_supported(x.shape, self.groups)
+        ):
+            return fused_layer_norm(
+                x, scale.astype(self.dtype), bias.astype(self.dtype),
+                self.epsilon, self.groups,
+            )
+        # XLA fallback — identical math (f32 stats)
+        xs = x.reshape(*x.shape[:-1], self.groups, dg).astype(jnp.float32)
+        mu = xs.mean(axis=-1, keepdims=True)
+        xc = xs - mu
+        var = (xc * xc).mean(axis=-1, keepdims=True)
+        y = xc * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.reshape(x.shape).astype(self.dtype)

@@ -35,7 +35,13 @@ from ..ops.pallas.flash_attention import (
     flash_attention,
     flash_attention_supported,
 )
-from .common import DropPath, Mlp, round_width, trunc_normal_init
+from .common import (
+    DropPath,
+    FusedLayerNorm,
+    Mlp,
+    round_width,
+    trunc_normal_init,
+)
 from .heads import TransformerBasicHead, ContrastiveProjectionHead
 
 Triple = tuple[int, int, int]
@@ -244,6 +250,44 @@ def build_mvit_spec(cfg) -> MViTSpec:
     )
 
 
+class QKVProj(nn.Module):
+    """Fused-qkv projection computed as THREE dots on weight slices.
+
+    Parameter layout matches the reference's single fused linear
+    (`attention.py:230` — one ``qkv`` Dense of width 3C, so the checkpoint
+    converter maps 1:1), but at trace time the WEIGHT is sliced instead of
+    the activation: slicing the [D, 3C] kernel is free, while slicing the
+    [B, L, 3C] activation profiled at ~8 ms/step of copy bandwidth at 448
+    (the activation slice also forced a layout round-trip into the
+    attention kernel's operands).
+    """
+
+    features: int  # C (per-projection width)
+    use_bias: bool
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = self.features
+        kernel = self.param(
+            "kernel", trunc_normal_init, (x.shape[-1], 3 * C),
+            self.param_dtype,
+        ).astype(self.dtype)
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (3 * C,), self.param_dtype,
+            ).astype(self.dtype)
+        outs = []
+        for i in range(3):
+            o = jnp.dot(x, kernel[:, i * C:(i + 1) * C])
+            if bias is not None:
+                o = o + bias[i * C:(i + 1) * C]
+            outs.append(o)
+        return tuple(outs)
+
+
 class MultiScaleAttention(nn.Module):
     """Pooled multi-head attention (reference: attention.py:86-284).
 
@@ -286,11 +330,9 @@ class MultiScaleAttention(nn.Module):
         d = C // h
         scale = d ** -0.5
 
-        qkv = nn.Dense(
-            3 * C,
+        q, k, v = QKVProj(
+            features=C,
             use_bias=self.qkv_bias,
-            kernel_init=trunc_normal_init,
-            bias_init=nn.initializers.zeros,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="qkv",
@@ -307,11 +349,12 @@ class MultiScaleAttention(nn.Module):
                 self.param_dtype,
             ).astype(self.dtype)
 
-        def _norm(name, t):
+        def _norm(name, t, groups=1):
             # LN over head_dim; torch-default eps (attention.py:338
-            # constructs a raw nn.LayerNorm)
-            return nn.LayerNorm(
-                epsilon=1e-5, dtype=self.dtype,
+            # constructs a raw nn.LayerNorm). groups=h normalizes per head
+            # without leaving the fused [B, L, h*d] channel layout.
+            return FusedLayerNorm(
+                epsilon=1e-5, groups=groups, dtype=self.dtype,
                 param_dtype=self.param_dtype, name=f"norm_{name}",
             )(t)
 
@@ -322,9 +365,6 @@ class MultiScaleAttention(nn.Module):
             # math), so ONE conv with h-tiled weights pools every head, and
             # the flash kernel slices heads via its grid. No head-major
             # transposes anywhere; the q-residual add is layout-free.
-            q = qkv[..., :C]
-            k = qkv[..., C:2 * C]
-            v = qkv[..., 2 * C:]
 
             def _pool_fused(t, name, kernel, stride):
                 if self.mode == "conv":
@@ -336,8 +376,7 @@ class MultiScaleAttention(nn.Module):
                     conv_weights=w, has_cls=False,
                 )
                 if self.mode == "conv":
-                    L2 = t.shape[1]
-                    t = _norm(name, t.reshape(B, L2, h, d)).reshape(B, L2, C)
+                    t = _norm(name, t, groups=h)
                 return t, new_thw
 
             out_thw = thw
@@ -389,8 +428,9 @@ class MultiScaleAttention(nn.Module):
         else:
             # cls-token path: head-major layout (the cls token bypasses
             # pooling, which breaks the fused-channel formulation)
-            qkv = qkv.reshape(B, L, 3, h, d).transpose(2, 0, 3, 1, 4)
-            q, k, v = qkv[0], qkv[1], qkv[2]
+            q = q.reshape(B, L, h, d).transpose(0, 2, 1, 3)
+            k = k.reshape(B, L, h, d).transpose(0, 2, 1, 3)
+            v = v.reshape(B, L, h, d).transpose(0, 2, 1, 3)
 
             def _pool(t, name, kernel, stride):
                 w = (_pool_param(name, kernel) if self.mode == "conv"
@@ -460,7 +500,7 @@ class MultiScaleBlock(nn.Module):
         # MLP performs the channel change.
         dim_att = s.dim_out if expand_channel else s.dim
 
-        ln = lambda name: nn.LayerNorm(  # noqa: E731
+        ln = lambda name: FusedLayerNorm(  # noqa: E731
             epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
             name=name,
         )
@@ -729,7 +769,7 @@ class MViT(nn.Module):
             x, thw = blk(x, thw, deterministic)
 
         if not sp.no_norm_before_avg:
-            x = nn.LayerNorm(
+            x = FusedLayerNorm(
                 epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
                 name="norm",
             )(x)

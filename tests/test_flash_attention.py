@@ -105,3 +105,70 @@ def test_vjp_matches_reference():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-3)
+
+
+class TestFusedLayerNorm:
+    """Pallas grouped LayerNorm vs reference math (interpreter mode)."""
+
+    def _ref(self, x, g, b, eps, groups):
+        C = x.shape[-1]
+        dg = C // groups
+        xs = x.reshape(*x.shape[:-1], groups, dg).astype(np.float32)
+        mu = xs.mean(-1, keepdims=True)
+        xc = xs - mu
+        var = (xc * xc).mean(-1, keepdims=True)
+        y = xc / np.sqrt(var + eps) * g + b
+        return y.reshape(x.shape)
+
+    @pytest.mark.parametrize("groups", [1, 2, 4])
+    def test_forward_matches(self, groups):
+        from aicity_action_tpu.ops.pallas import flash_attention as fa
+        from aicity_action_tpu.ops.pallas.layer_norm import fused_layer_norm
+
+        rng = np.random.RandomState(0)
+        C = 32 * groups
+        x = rng.randn(64, C).astype(np.float32)
+        g = rng.randn(C // groups).astype(np.float32)
+        b = rng.randn(C // groups).astype(np.float32)
+        old = fa.INTERPRET
+        fa.INTERPRET = True
+        try:
+            out = fused_layer_norm(
+                jnp.asarray(x), jnp.asarray(g), jnp.asarray(b), 1e-5, groups)
+        finally:
+            fa.INTERPRET = old
+        np.testing.assert_allclose(
+            np.asarray(out), self._ref(x, g, b, 1e-5, groups),
+            rtol=2e-5, atol=2e-5)
+
+    def test_grad_matches(self):
+        from aicity_action_tpu.ops.pallas import flash_attention as fa
+        from aicity_action_tpu.ops.pallas.layer_norm import fused_layer_norm
+
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(32, 64).astype(np.float32))
+        g = jnp.asarray(rng.randn(32).astype(np.float32))
+        b = jnp.asarray(rng.randn(32).astype(np.float32))
+
+        def ref_fn(x, g, b):
+            xs = x.reshape(32, 2, 32).astype(jnp.float32)
+            mu = xs.mean(-1, keepdims=True)
+            xc = xs - mu
+            var = (xc * xc).mean(-1, keepdims=True)
+            y = xc * jax.lax.rsqrt(var + 1e-5) * g + b
+            return (y.reshape(32, 64) * jnp.arange(64)).sum()
+
+        def pl_fn(x, g, b):
+            y = fused_layer_norm(x, g, b, 1e-5, 2)
+            return (y * jnp.arange(64)).sum()
+
+        old = fa.INTERPRET
+        fa.INTERPRET = True
+        try:
+            got = jax.grad(pl_fn, argnums=(0, 1, 2))(x, g, b)
+        finally:
+            fa.INTERPRET = old
+        want = jax.grad(ref_fn, argnums=(0, 1, 2))(x, g, b)
+        for a, w in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(w), rtol=1e-4, atol=1e-4)
