@@ -38,7 +38,6 @@ from ..ops.pallas.flash_attention import (
 from .common import (
     DropPath,
     FusedLayerNorm,
-    Mlp,
     round_width,
     trunc_normal_init,
 )
@@ -250,42 +249,119 @@ def build_mvit_spec(cfg) -> MViTSpec:
     )
 
 
-class QKVProj(nn.Module):
-    """Fused-qkv projection computed as THREE dots on weight slices.
+class _DenseParams(nn.Module):
+    """Declares Dense-compatible params (``kernel``/``bias``) and returns
+    them as arrays — used where a fused Pallas kernel consumes the weights
+    of several logical layers at once while checkpoint paths must keep the
+    reference's per-layer module structure."""
 
-    Parameter layout matches the reference's single fused linear
-    (`attention.py:230` — one ``qkv`` Dense of width 3C, so the checkpoint
-    converter maps 1:1), but at trace time the WEIGHT is sliced instead of
-    the activation: slicing the [D, 3C] kernel is free, while slicing the
-    [B, L, 3C] activation profiled at ~8 ms/step of copy bandwidth at 448
-    (the activation slice also forced a layout round-trip into the
-    attention kernel's operands).
+    features: int
+    use_bias: bool = True
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", trunc_normal_init, (in_features, self.features),
+            self.param_dtype,
+        )
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,),
+                self.param_dtype,
+            )
+        return kernel, bias
+
+
+class _LNParams(nn.Module):
+    """Declares LayerNorm params (``scale``/``bias``) and returns them."""
+
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param(
+            "scale", nn.initializers.ones, (features,), self.param_dtype)
+        bias = self.param(
+            "bias", nn.initializers.zeros, (features,), self.param_dtype)
+        return scale, bias
+
+
+def _ln_math(x, scale, bias, eps):
+    """Reference LayerNorm math (f32 stats) — the XLA fallback path."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    xc = xf - mu
+    var = (xc * xc).mean(axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu" and not fa.is_disabled()
+
+
+class FusedMlp(nn.Module):
+    """Pre-LN + MLP, fused into one Pallas kernel on TPU.
+
+    Computes ``fc2(gelu(fc1(LN(x))))`` (reference: block norm2 + Mlp,
+    `attention.py:436-445`). Param paths match the reference (`fc1`/`fc2``
+    submodules); the LN params are passed in by the block (they live at the
+    block level as ``norm2``). Returns ``(mlp_out, x_norm)`` — ``x_norm``
+    is materialized only when ``need_normed`` (the non-expand-front
+    residual projection reads it).
     """
 
-    features: int  # C (per-projection width)
-    use_bias: bool
+    hidden_features: int
+    out_features: int
+    drop_rate: float = 0.0
+    need_normed: bool = False
+    ln_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        C = self.features
-        kernel = self.param(
-            "kernel", trunc_normal_init, (x.shape[-1], 3 * C),
-            self.param_dtype,
-        ).astype(self.dtype)
-        bias = None
-        if self.use_bias:
-            bias = self.param(
-                "bias", nn.initializers.zeros, (3 * C,), self.param_dtype,
-            ).astype(self.dtype)
-        outs = []
-        for i in range(3):
-            o = jnp.dot(x, kernel[:, i * C:(i + 1) * C])
-            if bias is not None:
-                o = o + bias[i * C:(i + 1) * C]
-            outs.append(o)
-        return tuple(outs)
+    def __call__(self, x, ln_scale, ln_bias, *, deterministic: bool = True):
+        from ..ops.pallas.fused_dense import fused_ln_mlp, ln_mlp_supported
+        from .common import exact_gelu
+
+        D = x.shape[-1]
+        w1, b1 = _DenseParams(
+            features=self.hidden_features, param_dtype=self.param_dtype,
+            name="fc1")(D)
+        w2, b2 = _DenseParams(
+            features=self.out_features, param_dtype=self.param_dtype,
+            name="fc2")(self.hidden_features)
+        w1, b1, w2, b2 = (t.astype(self.dtype) for t in (w1, b1, w2, b2))
+
+        shape = x.shape
+        M = int(np.prod(shape[:-1]))
+        dropout_off = deterministic or self.drop_rate == 0.0
+        if (
+            _use_pallas()
+            and not self.need_normed
+            and dropout_off
+            and ln_mlp_supported(M, D, self.hidden_features,
+                                 self.out_features)
+        ):
+            out = fused_ln_mlp(
+                x.reshape(M, D).astype(self.dtype),
+                ln_scale.astype(self.dtype), ln_bias.astype(self.dtype),
+                w1, b1, w2, b2, self.ln_eps,
+            ).reshape(*shape[:-1], self.out_features)
+            return out, None
+
+        xn = _ln_math(x.astype(self.dtype), ln_scale, ln_bias, self.ln_eps)
+        h = exact_gelu(jnp.dot(xn, w1) + b1)
+        if not dropout_off:
+            h = nn.Dropout(self.drop_rate, deterministic=deterministic)(h)
+        out = jnp.dot(h, w2) + b2
+        if not dropout_off:
+            out = nn.Dropout(self.drop_rate,
+                             deterministic=deterministic)(out)
+        return out, xn
 
 
 class MultiScaleAttention(nn.Module):
@@ -322,21 +398,57 @@ class MultiScaleAttention(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, thw: Triple, *, deterministic: bool = True
+        self, x: jax.Array, thw: Triple, *, ln_scale=None, ln_bias=None,
+        ln_eps: float = 1e-6, deterministic: bool = True
     ) -> tuple[jax.Array, Triple]:
+        """``x`` is the UN-normalized block input when ``ln_scale`` is given
+        (the pre-LN fuses into the qkv projection, ops/pallas/fused_dense);
+        otherwise the caller normalized already."""
         B, L, _ = x.shape
         C = self.dim_out
         h = self.num_heads
         d = C // h
         scale = d ** -0.5
 
-        q, k, v = QKVProj(
-            features=C,
+        # qkv params keep the reference's fused-linear layout
+        # (attention.py:230): one [D, 3C] kernel under module "qkv".
+        qkv_w, qkv_b = _DenseParams(
+            features=3 * C,
             use_bias=self.qkv_bias,
-            dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="qkv",
-        )(x)
+        )(x.shape[-1])
+        qkv_w = qkv_w.astype(self.dtype)
+        qkv_b = qkv_b.astype(self.dtype) if qkv_b is not None else None
+
+        from ..ops.pallas.fused_dense import fused_ln_qkv, ln_qkv_supported
+
+        D = x.shape[-1]
+        if (
+            ln_scale is not None
+            and _use_pallas()
+            and ln_qkv_supported(B * L, D, 3 * C)
+        ):
+            q, k, v = fused_ln_qkv(
+                x.reshape(B * L, D).astype(self.dtype),
+                ln_scale.astype(self.dtype), ln_bias.astype(self.dtype),
+                qkv_w, qkv_b, ln_eps,
+            )
+            q, k, v = (t.reshape(B, L, C) for t in (q, k, v))
+        else:
+            xn = (
+                _ln_math(x.astype(self.dtype), ln_scale, ln_bias, ln_eps)
+                if ln_scale is not None else x.astype(self.dtype)
+            )
+            # slice the WEIGHT, not the [B, L, 3C] activation (the
+            # activation slice profiled at ~8 ms/step of copy at 448)
+            outs = []
+            for i in range(3):
+                o = jnp.dot(xn, qkv_w[:, i * C:(i + 1) * C])
+                if qkv_b is not None:
+                    o = o + qkv_b[i * C:(i + 1) * C]
+                outs.append(o)
+            q, k, v = outs
 
         do_q = self._active(self.kernel_q, self.stride_q)
         do_kv = self._active(self.kernel_kv, self.stride_kv)
@@ -500,10 +612,12 @@ class MultiScaleBlock(nn.Module):
         # MLP performs the channel change.
         dim_att = s.dim_out if expand_channel else s.dim
 
-        ln = lambda name: FusedLayerNorm(  # noqa: E731
-            epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
-            name=name,
-        )
+        # norm1/norm2 params declared here (reference paths), applied
+        # inside the fused Pallas kernels (or the _ln_math fallback)
+        n1_scale, n1_bias = _LNParams(
+            param_dtype=self.param_dtype, name="norm1")(s.dim)
+        n2_scale, n2_bias = _LNParams(
+            param_dtype=self.param_dtype, name="norm2")(dim_att)
 
         x_block, thw_new = MultiScaleAttention(
             dim=s.dim,
@@ -521,7 +635,8 @@ class MultiScaleBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="attn",
-        )(ln("norm1")(x), thw, deterministic=deterministic)
+        )(x, thw, ln_scale=n1_scale, ln_bias=n1_bias, ln_eps=1e-6,
+          deterministic=deterministic)
 
         if expand_channel:
             x = nn.Dense(
@@ -546,15 +661,15 @@ class MultiScaleBlock(nn.Module):
         dp = DropPath(s.drop_path)
         x = x_res + dp(x_block, deterministic=deterministic)
 
-        x_norm = ln("norm2")(x)
-        x_mlp = Mlp(
+        x_mlp, x_norm = FusedMlp(
             hidden_features=int(dim_att * self.mlp_ratio),
             out_features=s.dim_out,
             drop_rate=self.drop_rate,
+            need_normed=dim_att != s.dim_out,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="mlp",
-        )(x_norm, deterministic=deterministic)
+        )(x, n2_scale, n2_bias, deterministic=deterministic)
 
         if dim_att != s.dim_out:
             # (non-expand-front) channel change in the MLP: residual comes

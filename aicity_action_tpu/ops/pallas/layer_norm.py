@@ -29,7 +29,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import flash_attention as _fa  # reuse INTERPRET/_DISABLED switches
 
-_ROW_TILES = (1024, 784, 512, 392, 256, 196, 128, 98, 64, 56, 32, 16, 8)
+# row-tile candidates: multiples of 8 (f32 sublane requirement)
+_ROW_TILES = (1024, 896, 784, 512, 448, 392, 256, 224, 128, 112,
+              64, 56, 32, 16, 8)
 
 
 def _pick_rows(m: int) -> int | None:

@@ -172,3 +172,58 @@ class TestFusedLayerNorm:
         for a, w in zip(got, want):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(w), rtol=1e-4, atol=1e-4)
+
+
+class TestFusedDense:
+    """fused_ln_qkv / fused_ln_mlp vs the jnp reference (interpret mode)."""
+
+    def test_ln_qkv(self):
+        from aicity_action_tpu.ops.pallas import flash_attention as fa
+        from aicity_action_tpu.ops.pallas.fused_dense import (
+            _ref_ln_qkv, fused_ln_qkv)
+
+        rng = np.random.RandomState(0)
+        M, D, C = 64, 32, 48
+        x = jnp.asarray(rng.randn(M, D).astype(np.float32))
+        gm = jnp.asarray(rng.randn(D).astype(np.float32))
+        bt = jnp.asarray(rng.randn(D).astype(np.float32))
+        w = jnp.asarray(rng.randn(D, 3 * C).astype(np.float32))
+        b = jnp.asarray(rng.randn(3 * C).astype(np.float32))
+        old = fa.INTERPRET
+        fa.INTERPRET = True
+        try:
+            got = fused_ln_qkv(x, gm, bt, w, b, 1e-6)
+        finally:
+            fa.INTERPRET = old
+        want = _ref_ln_qkv(x, gm, bt, w, b, 1e-6)
+        for a, e in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_ln_mlp_and_grad(self):
+        from aicity_action_tpu.ops.pallas import flash_attention as fa
+        from aicity_action_tpu.ops.pallas.fused_dense import (
+            _ref_ln_mlp, fused_ln_mlp)
+
+        rng = np.random.RandomState(1)
+        M, D, H, C = 64, 32, 64, 32
+        args = [
+            jnp.asarray(rng.randn(*s).astype(np.float32)) * 0.5
+            for s in [(M, D), (D,), (D,), (D, H), (H,), (H, C), (C,)]
+        ]
+        old = fa.INTERPRET
+        fa.INTERPRET = True
+        try:
+            got = fused_ln_mlp(*args, 1e-6)
+            g = jax.grad(lambda *a: fused_ln_mlp(*a, 1e-6).sum(),
+                         argnums=tuple(range(7)))(*args)
+        finally:
+            fa.INTERPRET = old
+        want = _ref_ln_mlp(*args, 1e-6)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        gw = jax.grad(lambda *a: _ref_ln_mlp(*a, 1e-6).sum(),
+                      argnums=tuple(range(7)))(*args)
+        for a, e in zip(g, gw):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                       rtol=1e-4, atol=1e-4)
