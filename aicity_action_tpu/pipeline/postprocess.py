@@ -37,14 +37,57 @@ def aggregate_predictions(
     min_f, max_f = min(frame_idxs), max(frame_idxs)
     num_frame = max_f - min_f
 
+    t0s = np.asarray([t[0] for t in pred_list], np.int64) - min_f
+    t1s = np.asarray([t[1] for t in pred_list], np.int64) - min_f
+    scores = np.stack(
+        [np.asarray(t[2], np.float32) for t in pred_list]
+    ).astype(np.float64)
+    assert scores.shape[-1] == num_class
+
+    # Segment decomposition: the active-window set only changes at window
+    # boundaries, so compute per *segment* (between consecutive boundaries)
+    # and expand to frames with one np.repeat — O(W log W + F) instead of
+    # the reference's O(F x W) Python loop (aicity_inf_graph.py:313-351).
+    ev_f = np.concatenate([t0s, t1s])
+    order = np.argsort(ev_f, kind="stable")
+    ev_f = ev_f[order]
+    uniq, first_idx = np.unique(ev_f, return_index=True)
+    last_idx = np.searchsorted(ev_f, uniq, side="right") - 1
+    seg_lens = np.diff(np.append(uniq, num_frame))
+
+    n_w = len(t0s)
+    ev_cnt = np.concatenate([np.ones(n_w), -np.ones(n_w)])[order]
+    seg_cnt = np.rint(np.cumsum(ev_cnt))[last_idx]
+
+    if aggregate_func is np.mean:
+        ev_s = np.concatenate([scores, -scores])[order]
+        seg_sum = np.cumsum(ev_s, axis=0)[last_idx]
+        # uncovered segments keep the zero initializer (reference semantics)
+        seg_out = np.where(
+            seg_cnt[:, None] > 0,
+            seg_sum / np.maximum(seg_cnt, 1.0)[:, None],
+            0.0,
+        )
+        return np.repeat(seg_out.astype(np.float32), seg_lens, axis=0)
+
+    if aggregate_func in (np.max, np.amax, np.maximum):
+        # One vectorized slice-max per window over the segment array; the
+        # zero seed is dropped once covered, so track coverage via seg_cnt.
+        seg_t0 = np.searchsorted(uniq, t0s)
+        seg_t1 = np.searchsorted(uniq, t1s)
+        run = np.full((len(uniq), num_class), -np.inf, np.float64)
+        for a, b, s in zip(seg_t0, seg_t1, scores):
+            np.maximum(run[a:b], s, out=run[a:b])
+        seg_out = np.where(seg_cnt[:, None] > 0, run, 0.0)
+        return np.repeat(seg_out.astype(np.float32), seg_lens, axis=0)
+
+    # Generic aggregate: the reference's per-frame path, kept as fallback.
     per_frame: list[list[np.ndarray]] = [
         [np.zeros(num_class, np.float32)] for _ in range(num_frame)
     ]
-    for t0, t1, scores in pred_list:
-        scores = np.asarray(scores, np.float32)
-        assert scores.shape[-1] == num_class
+    for t0, t1, s in zip(t0s, t1s, scores.astype(np.float32)):
         for t in range(t0, t1):
-            per_frame[t - min_f].append(scores)
+            per_frame[t].append(s)
 
     out = np.zeros((num_frame, num_class), np.float32)
     for i, lst in enumerate(per_frame):

@@ -45,6 +45,30 @@ def test_aggregate_predictions_parity(ref):
         assert got.shape[1] == 6
 
 
+def test_aggregate_predictions_parity_at_scale(ref):
+    """10-min-video scale (18k frames, ~1.1k windows) + irregular windows.
+
+    The repo path is a segment-decomposition rewrite (O(W log W + F) vs the
+    reference's O(F x W) loops); this pins exact-output parity at the scale
+    the speedup matters, including gaps, overlaps and zero-length windows.
+    """
+    rs = np.random.RandomState(3)
+    preds = [
+        (t0, t0 + 64, rs.rand(18).astype(np.float32))
+        for t0 in range(0, 18000 - 64, 16)
+    ]
+    # irregular extras: a gap-spanning window, a zero-length window,
+    # and windows with negative scores (max path must not clamp at 0)
+    preds += [
+        (17990, 17990, rs.rand(18).astype(np.float32)),
+        (500, 900, -rs.rand(18).astype(np.float32)),
+    ]
+    for agg in (np.mean, np.max):
+        got = pp.aggregate_predictions(preds, agg, 18)
+        want = ref.aggregate_predictions(preds, agg, 18)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 def test_get_chunks_parity(ref):
     rs = np.random.RandomState(1)
     for trial in range(20):
