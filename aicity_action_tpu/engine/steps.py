@@ -80,6 +80,12 @@ def make_train_step(
             # soft-target losses need [B, C] targets; int labels one-hot
             labels = jax.nn.one_hot(labels, num_classes)
 
+        # Short final batches arrive padded to the compiled size with
+        # repeats of the last sample; ``n_valid`` (when present) masks the
+        # padding out of the loss AND the gradient, matching the reference
+        # which simply trains on the true short batch.
+        n_valid = batch.get("n_valid")
+
         def compute_loss(params):
             preds, new_model_state = module.apply(
                 {"params": params, **state.model_state},
@@ -88,7 +94,14 @@ def make_train_step(
                 rngs={"dropout": dropout_rng, "droppath": droppath_rng},
                 mutable=["batch_stats"],
             )
-            loss = loss_func(preds, labels)
+            if n_valid is None:
+                loss = loss_func(preds, labels)
+            else:
+                per_sample = loss_func(preds, labels, reduction="none")
+                mask = (jnp.arange(per_sample.shape[0]) < n_valid).astype(
+                    per_sample.dtype)
+                loss = (per_sample * mask).sum() / n_valid.astype(
+                    per_sample.dtype)
             return loss, (preds, new_model_state)
 
         (loss, (preds, new_model_state)), grads = jax.value_and_grad(

@@ -79,6 +79,7 @@ def test(cfg):
     state = jax.device_put(state, replicated(mesh))
 
     per_host_batch = loader.batch_size
+    local_preds, local_labels, local_index = [], [], []
     with mesh:
         for batch in loader:
             batch, n_valid = _pad_batch(batch, per_host_batch)
@@ -86,14 +87,21 @@ def test(cfg):
                 "inputs": [jax.device_put(x, b_sh) for x in batch["inputs"]],
             }
             preds = jitted_eval(state.params, dev_batch, state.model_state)
-            preds_np = np.asarray(jax.device_get(preds), np.float32)[:n_valid]
-            labels = batch["labels"][:n_valid]
-            index = batch["index"][:n_valid]
-            if cfg.NUM_SHARDS > 1:
-                preds_np = np.concatenate(process_allgather(preds_np))
-                labels = np.concatenate(process_allgather(labels))
-                index = np.concatenate(process_allgather(index))
-            meter.update_stats(preds_np, labels, index)
+            local_preds.append(
+                np.asarray(jax.device_get(preds), np.float32)[:n_valid])
+            local_labels.append(batch["labels"][:n_valid])
+            local_index.append(batch["index"][:n_valid])
+
+    preds_np = np.concatenate(local_preds)
+    labels = np.concatenate(local_labels)
+    index = np.concatenate(local_index)
+    if cfg.NUM_SHARDS > 1:
+        # ONE host gather per epoch (not per batch — per-batch gathers
+        # serialize multi-host eval on the slowest host every step).
+        preds_np = np.concatenate(process_allgather(preds_np))
+        labels = np.concatenate(process_allgather(labels))
+        index = np.concatenate(process_allgather(index))
+    meter.update_stats(preds_np, labels, index)
 
     stats = meter.finalize_metrics()
     if cfg.TEST.SAVE_RESULTS_PATH:

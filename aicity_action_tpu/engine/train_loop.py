@@ -153,7 +153,11 @@ def train(cfg):
 
         def pad_and_put(batch):
             padded, n_valid = _pad_batch(batch, per_host_batch)
-            return put(padded), padded["labels"], n_valid
+            dev = put(padded)
+            # traced scalar (not a Python int: that would recompile per
+            # distinct n_valid) masking padded rows out of loss + grads
+            dev["n_valid"] = jax.device_put(np.int32(n_valid), repl)
+            return dev, padded["labels"], n_valid
 
         with mesh:
             prefetched = prefetch_to_device(

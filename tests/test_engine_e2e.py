@@ -112,6 +112,62 @@ def test_train_checkpoint_resume_and_test(workdir):
     assert 0.0 <= stats["top1_acc"] <= 100.0
 
 
+def test_padded_batch_masks_loss_and_grads(workdir):
+    """A short batch padded to the compiled size (with n_valid) must produce
+    exactly the loss/grads of the true short batch (reference trains on the
+    short batch directly)."""
+    import jax
+    import jax.numpy as jnp
+
+    from aicity_action_tpu.engine.steps import TrainState, make_train_step
+    from aicity_action_tpu.models.build import build_model
+    from aicity_action_tpu.solver.optimizer import construct_optimizer
+
+    cfg = _tiny_cfg(workdir)
+    cfg.MIXUP.ENABLE = False
+    cfg.MODEL.DROPOUT_RATE = 0.0
+    cfg.MVIT.DROPPATH_RATE = 0.0
+    module, params = build_model(cfg)
+    tx, _ = construct_optimizer(cfg, params, steps_per_epoch=10)
+
+    step = make_train_step(module, tx, cfg.MODEL.LOSS_FUNC,
+                           num_classes=cfg.MODEL.NUM_CLASSES)
+    rng = jax.random.PRNGKey(0)
+    rs = np.random.RandomState(0)
+    x = rs.randn(4, 4, 32, 32, 3).astype(np.float32)
+    y = np.array([0, 1, 2, 0])
+    n_valid = 3
+
+    # padded batch: row n_valid.. repeats the last valid row
+    xp = np.concatenate([x[:n_valid], np.repeat(x[n_valid - 1:n_valid],
+                                                4 - n_valid + 1, axis=0)])[:4]
+    yp = np.concatenate([y[:n_valid], np.repeat(y[n_valid - 1:n_valid],
+                                                4 - n_valid + 1)])[:4]
+    state = TrainState.create(params, tx)
+    padded_state, padded_metrics, _ = jax.jit(step)(
+        state,
+        {"inputs": [jnp.asarray(xp)], "labels": jnp.asarray(yp),
+         "n_valid": jnp.int32(n_valid)},
+        rng,
+    )
+
+    state = TrainState.create(params, tx)
+    short_state, short_metrics, _ = jax.jit(step)(
+        state,
+        {"inputs": [jnp.asarray(x[:n_valid])],
+         "labels": jnp.asarray(y[:n_valid])},
+        rng,
+    )
+
+    np.testing.assert_allclose(float(padded_metrics["loss"]),
+                               float(short_metrics["loss"]), rtol=1e-5)
+    # parameter updates must match: padding contributed zero gradient
+    for pp, sp in zip(jax.tree.leaves(padded_state.params),
+                      jax.tree.leaves(short_state.params)):
+        np.testing.assert_allclose(np.asarray(pp), np.asarray(sp),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_test_engine_ensembles_views(workdir):
     """All views of one video must land in the same ensemble slot."""
     from aicity_action_tpu.engine.test_loop import test
