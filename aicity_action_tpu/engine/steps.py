@@ -201,6 +201,19 @@ def make_multihead_train_step(
     return train_step
 
 
+def make_multihead_eval_step(module) -> Callable:
+    """Eval step scoring EVERY dataset head; the host selects each sample's
+    own dataset (reference: test_net.py:109-114 selects per-batch; here the
+    val batch mixes datasets, so selection happens meter-side)."""
+
+    def eval_step(params, batch: dict, model_state=None):
+        variables = {"params": params, **(model_state or {})}
+        return module.apply(variables, batch["inputs"], None, None,
+                            train=False)
+
+    return eval_step
+
+
 def make_eval_step(module) -> Callable:
     def eval_step(params, batch: dict, model_state=None):
         variables = {"params": params, **(model_state or {})}

@@ -90,12 +90,28 @@ def train(cfg):
     state, start_epoch = cu.load_train_checkpoint(cfg, state)
 
     detection = cfg.DETECTION.ENABLE
+    multihead = cfg.MODEL.USE_MULTI_HEAD and not detection
     mixup_fn = None
     if detection:
         from .detection import make_detection_eval_step, make_detection_train_step
 
         train_step = make_detection_train_step(module, tx, cfg.MODEL.LOSS_FUNC)
         jitted_eval = jax.jit(make_detection_eval_step(module))
+    elif multihead:
+        # multi-dataset multi-head driver (reference: train_net.py:155-218)
+        from .steps import make_multihead_eval_step, make_multihead_train_step
+
+        train_step = make_multihead_train_step(
+            module, tx,
+            datasets=cfg.MODEL.MULTI_DATASETS,
+            loss_funcs=cfg.MODEL.MULTI_LOSS_FUNCS,
+            loss_weights=cfg.MODEL.MULTI_LOSS_WEIGHTS,
+            add_cross_proj=cfg.MODEL.MULTI_ADD_CROSS_PROJ,
+            cross_proj_add_to_pred=cfg.MODEL.MULTI_CROSS_PROJ_ADD_TO_PRED,
+            proj_loss_func=cfg.MODEL.MULTI_PROJ_LOSS_FUNC,
+            proj_loss_weight=cfg.MODEL.MULTI_PROJ_LOSS_WEIGHT,
+        )
+        jitted_eval = jax.jit(make_multihead_eval_step(module))
     else:
         mixup_fn = build_mixup_from_cfg(cfg)
         train_step = make_train_step(
@@ -119,7 +135,12 @@ def train(cfg):
     rng = jax.device_put(jax.random.PRNGKey(cfg.RNG_SEED), repl)
 
     train_meter = TrainMeter(steps_per_epoch, cfg)
-    val_meter = ValMeter(len(val_loader), cfg)
+    if multihead:
+        from ..utils.meters import MultiDatasetValMeter
+
+        val_meter = MultiDatasetValMeter(len(val_loader), cfg)
+    else:
+        val_meter = ValMeter(len(val_loader), cfg)
     epoch_timer = EpochTimer()
 
     writer = None
@@ -135,14 +156,18 @@ def train(cfg):
             "inputs": [jax.device_put(x, b_sh) for x in batch["inputs"]],
             "labels": jax.device_put(batch["labels"], b_sh),
         }
-        for key in ("boxes", "box_mask"):
+        for key in ("boxes", "box_mask", "dataset_idx"):
             if key in batch:
                 out[key] = jax.device_put(batch[key], b_sh)
         return out
 
     if cfg.TRAIN.EVAL_FIRST:
-        eval_epoch(cfg, mesh, jitted_eval, state, val_loader, val_meter,
-                   start_epoch - 1, per_host_batch)
+        if multihead:
+            eval_epoch_multihead(cfg, mesh, jitted_eval, state, val_loader,
+                                 val_meter, start_epoch - 1, per_host_batch)
+        else:
+            eval_epoch(cfg, mesh, jitted_eval, state, val_loader, val_meter,
+                       start_epoch - 1, per_host_batch)
 
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
         shuffle_dataset(train_loader, cur_epoch)
@@ -176,9 +201,9 @@ def train(cfg):
                         f"ERROR: Got NaN/Inf loss at epoch {cur_epoch} "
                         f"iter {cur_iter}"
                     )
-                preds_np = np.asarray(
-                    jax.device_get(preds), np.float32)[:n_valid]
-                if not detection and labels_np.ndim == 1:
+                if not detection and not multihead and labels_np.ndim == 1:
+                    preds_np = np.asarray(
+                        jax.device_get(preds), np.float32)[:n_valid]
                     if mixup_fn is not None:
                         # mixup stats: a prediction counts as correct if it
                         # hits either of the two mixed source labels
@@ -243,6 +268,10 @@ def train(cfg):
             if detection:
                 eval_epoch_detection(cfg, mesh, jitted_eval, state,
                                      val_loader, cur_epoch, per_host_batch)
+            elif multihead:
+                eval_epoch_multihead(cfg, mesh, jitted_eval, state,
+                                     val_loader, val_meter, cur_epoch,
+                                     per_host_batch)
             else:
                 eval_epoch(cfg, mesh, jitted_eval, state, val_loader,
                            val_meter, cur_epoch, per_host_batch)
@@ -295,6 +324,30 @@ def eval_epoch_detection(cfg, mesh, jitted_eval, state, val_loader,
                 meter.update_stats(preds[b][m], boxes_b, meta[b][m])
     meter.finalize_metrics()
     return meter.full_map
+
+
+def eval_epoch_multihead(cfg, mesh, jitted_eval, state, val_loader,
+                         val_meter, cur_epoch, per_host_batch):
+    """Multi-head validation: every head scores the batch; per-dataset
+    selection + top-k happen in the MultiDatasetValMeter (reference:
+    train_net.py eval_epoch USE_MULTI_HEAD branch + meters.py:856-898)."""
+    b_sh = batch_sharding(mesh)
+    val_meter.reset()
+    with mesh:
+        for batch in val_loader:
+            batch, n_valid = _pad_batch(batch, per_host_batch)
+            dev_batch = {
+                "inputs": [jax.device_put(x, b_sh) for x in batch["inputs"]],
+            }
+            preds = jitted_eval(state.params, dev_batch, state.model_state)
+            preds_np = {
+                ds: np.asarray(jax.device_get(p), np.float32)[:n_valid]
+                for ds, p in preds.items()
+            }
+            val_meter.update_stats(
+                preds_np, batch["labels"][:n_valid],
+                batch["dataset_idx"][:n_valid])
+    return val_meter.log_epoch_stats(cur_epoch)
 
 
 def eval_epoch(cfg, mesh, jitted_eval, state, val_loader, val_meter,

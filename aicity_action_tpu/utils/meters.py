@@ -281,6 +281,83 @@ class TestMeter:
         return stats
 
 
+def topks_correct_full_label(preds: np.ndarray, labels: np.ndarray,
+                             ks=(1, 5)) -> list:
+    """Multi-label top-k accuracy (reference: metrics.py:85-141).
+
+    A sample counts as correct at k if ANY of its top-k predictions is a
+    positive label (the Multi-Moments-in-Time convention).
+    """
+    preds = np.asarray(preds)
+    labels = np.asarray(labels)
+    max_k = min(max(ks), preds.shape[1])
+    top = np.argsort(-preds, axis=1)[:, :max_k]
+    pos = labels == 1.0
+    out = []
+    for k in ks:
+        k = min(k, preds.shape[1])
+        hit = pos[np.arange(len(preds))[:, None], top[:, :k]].any(axis=1)
+        out.append(float(hit.mean()) if len(preds) else 0.0)
+    return out
+
+
+class MultiDatasetValMeter:
+    """Per-dataset validation accuracy for multi-head training
+    (reference: meters.py:856-898 — ValMeter's USE_MULTI_HEAD branch).
+
+    Accumulates (preds, one-hot labels) per dataset over the epoch;
+    ``log_epoch_stats`` reports per-dataset top-1/top-5 plus their
+    across-dataset averages.
+    """
+
+    def __init__(self, max_iter: int, cfg):
+        self.cfg = cfg
+        self.max_iter = max_iter
+        self.datasets = list(cfg.MODEL.MULTI_DATASETS)
+        self.num_classes = list(cfg.MODEL.MULTI_NUM_CLASSES)
+        self.reset()
+
+    def reset(self):
+        self.all_preds = {ds: [] for ds in self.datasets}
+        self.all_labels = {ds: [] for ds in self.datasets}
+
+    def update_stats(self, preds_by_ds: dict, labels_full: np.ndarray,
+                     dataset_idx: np.ndarray):
+        """``preds_by_ds``: {dataset: [B, n_cls_ds]} (the model scores every
+        head); ``labels_full``: [B, max_classes] one-hot; ``dataset_idx``:
+        [B] which dataset each sample belongs to."""
+        dataset_idx = np.asarray(dataset_idx)
+        for i, (ds, n_cls) in enumerate(zip(self.datasets, self.num_classes)):
+            sel = dataset_idx == i
+            if not sel.any():
+                continue
+            self.all_preds[ds].append(np.asarray(preds_by_ds[ds])[sel])
+            self.all_labels[ds].append(
+                np.asarray(labels_full)[sel][:, :n_cls])
+
+    def log_epoch_stats(self, cur_epoch: int) -> dict:
+        stats = {
+            "_type": "val_epoch",
+            "epoch": f"{cur_epoch + 1}/{self.cfg.SOLVER.MAX_EPOCH}",
+        }
+        per_ds = {}
+        top1s, top5s = [], []
+        for ds in self.datasets:
+            if not self.all_preds[ds]:
+                continue
+            preds = np.concatenate(self.all_preds[ds])
+            labels = np.concatenate(self.all_labels[ds])
+            top1, top5 = topks_correct_full_label(preds, labels, ks=(1, 5))
+            per_ds[ds] = {"top1_acc": top1, "top5_acc": top5}
+            top1s.append(top1)
+            top5s.append(top5)
+        stats["dataset_topk"] = per_ds
+        stats["top1_avg_acc"] = float(np.mean(top1s)) if top1s else 0.0
+        stats["top5_avg_acc"] = float(np.mean(top5s)) if top5s else 0.0
+        log_json_stats(stats)
+        return stats
+
+
 class AVAMeter:
     """Accumulates box predictions over an epoch and computes AVA mAP
     (reference: meters.py:48-275 + ava_eval_helper).

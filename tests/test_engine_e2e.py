@@ -112,6 +112,48 @@ def test_train_checkpoint_resume_and_test(workdir):
     assert 0.0 <= stats["top1_acc"] <= 100.0
 
 
+def test_multidataset_epoch_driver(workdir):
+    """Train a tiny 2-dataset multi-head model for 2 epochs; the epoch
+    driver must run Multi_dataset_seq batches through the multi-head step
+    and report per-dataset accuracy (reference: tools/train_net.py:155-218
+    + meters.py:856-898)."""
+    from aicity_action_tpu.engine.train_loop import train
+    from aicity_action_tpu.utils.meters import MultiDatasetValMeter
+
+    cfg = _tiny_cfg(workdir)
+    cfg.OUTPUT_DIR = str(workdir / "out_multi")
+    cfg.MIXUP.ENABLE = False
+    cfg.TRAIN.DATASET = "multi_dataset_seq"
+    cfg.MODEL.USE_MULTI_HEAD = True
+    cfg.MODEL.MULTI_DATASETS = ["kinetics", "aicity"]
+    cfg.MODEL.MULTI_REPLICAS = [1, 2]
+    cfg.MODEL.MULTI_NUM_CLASSES = [3, 4]
+    cfg.MODEL.MULTI_LOSS_FUNCS = ["soft_cross_entropy", "soft_cross_entropy"]
+    cfg.MODEL.MULTI_HEAD_ACT = ["softmax", "softmax"]
+    cfg.MODEL.MULTI_LOSS_WEIGHTS = [1.0, 1.0]
+    cfg.MODEL.MULTI_PATH_TO_DATA_DIR = [str(workdir / "videos")] * 2
+    cfg.MODEL.MULTI_PATH_PREFIX = [str(workdir / "videos")] * 2
+    cfg.TRAIN.EVAL_PERIOD = 1
+    cfg.TRAIN.CHECKPOINT_PERIOD = 10
+
+    state = train(cfg)
+    # 8 + 2*8 = 24 samples / batch 8 = 3 iters/epoch x 2 epochs
+    assert int(np.asarray(state.step)) == 6
+
+    # the per-dataset meter math itself
+    meter = MultiDatasetValMeter(1, cfg)
+    preds = {
+        "kinetics": np.eye(3, dtype=np.float32),
+        "aicity": np.zeros((3, 4), np.float32),
+    }
+    labels = np.zeros((3, 4), np.float32)
+    labels[np.arange(3), [0, 1, 0]] = 1.0
+    meter.update_stats(preds, labels, np.array([0, 0, 1]))
+    stats = meter.log_epoch_stats(0)
+    assert stats["dataset_topk"]["kinetics"]["top1_acc"] == 1.0
+    assert "aicity" in stats["dataset_topk"]
+
+
 def test_padded_batch_masks_loss_and_grads(workdir):
     """A short batch padded to the compiled size (with n_valid) must produce
     exactly the loss/grads of the true short batch (reference trains on the
