@@ -84,6 +84,73 @@ def clip_size_in_frames(
 
 
 # ------------------------------------------------------------- backends
+def pyav_decode_stream(container, start_pts, end_pts, stream,
+                       buffer_size: int = 0):
+    """Decode only frames with pts in ``[start_pts, end_pts]`` by seeking
+    near the window start (reference: decoder.py:75-114). Seeks are
+    imprecise, so seek a 1024-pts margin early and skip until start_pts."""
+    margin = 1024
+    seek_offset = max(start_pts - margin, 0)
+    container.seek(seek_offset, any_frame=False, backward=True, stream=stream)
+    frames = {}
+    buffer_count = 0
+    max_pts = 0
+    for frame in container.decode(stream):
+        max_pts = max(max_pts, frame.pts)
+        if frame.pts < start_pts:
+            continue
+        if frame.pts <= end_pts:
+            frames[frame.pts] = frame
+        else:
+            buffer_count += 1
+            frames[frame.pts] = frame
+            if buffer_count >= buffer_size:
+                break
+    return [frames[p] for p in sorted(frames)], max_pts
+
+
+def pyav_decode(
+    container,
+    sampling_rate: int,
+    num_frames: int,
+    clip_idx: int,
+    num_clips: int = 10,
+    target_fps: float = 30.0,
+    use_offset: bool = False,
+    rng: Optional[random.Random] = None,
+) -> tuple[np.ndarray, float, bool]:
+    """Selective-seek PyAV decode (reference: decoder.py:253-326).
+
+    When the container header carries duration/frame-count metadata, only
+    the clip window is decoded (O(clip), independent of video length);
+    otherwise the entire video is decoded. Returns
+    ``(frames [T, H, W, 3] uint8, fps, decode_all_video)``.
+    """
+    stream = container.streams.video[0]
+    fps = float(stream.average_rate or 30.0)
+    frames_length = stream.frames
+    duration = stream.duration
+
+    if duration is None or not frames_length:
+        decode_all_video = True
+        start_pts, end_pts = 0, math.inf
+    else:
+        decode_all_video = False
+        s, e = get_start_end_idx(
+            frames_length,
+            clip_size_in_frames(sampling_rate, num_frames, fps, target_fps),
+            clip_idx, num_clips, use_offset, rng,
+        )
+        timebase = duration / frames_length
+        start_pts = int(s * timebase)
+        end_pts = int(e * timebase)
+
+    video_frames, _ = pyav_decode_stream(container, start_pts, end_pts,
+                                         stream)
+    frames = np.stack([f.to_rgb().to_ndarray() for f in video_frames])
+    return frames, fps, decode_all_video
+
+
 def _cv2_decode_all(path: str) -> tuple[np.ndarray, float]:
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
@@ -172,14 +239,18 @@ def decode(
         return vr.get_batch(idx).asnumpy()
     if backend == "pyav" and av is not None:
         with av.open(path) as container:
-            stream = container.streams.video[0]
-            fps = float(stream.average_rate or 30.0)
-            frames = np.stack(
-                [f.to_rgb().to_ndarray() for f in container.decode(stream)]
-            )
-        clip_sz = clip_size_in_frames(sampling_rate, num_frames, fps, target_fps)
-        s, e = get_start_end_idx(frames.shape[0], clip_sz, clip_idx,
-                                 num_clips, use_offset, rng)
+            frames, fps, decode_all = pyav_decode(
+                container, sampling_rate, num_frames, clip_idx, num_clips,
+                target_fps, use_offset, rng)
+        clip_sz = clip_size_in_frames(sampling_rate, num_frames, fps,
+                                      target_fps)
+        # after selective decode, the window IS the clip (reference
+        # decoder.py:466-472: clip_idx=0, num_clips=1 over the window)
+        s, e = get_start_end_idx(
+            frames.shape[0], clip_sz,
+            clip_idx if decode_all else 0,
+            num_clips if decode_all else 1,
+            use_offset, rng)
         return temporal_sampling(frames, s, e, num_frames)
     # cv2 fallback/primary: read metadata, then selectively grab frames
     video_size, fps = cv2_video_meta(path)

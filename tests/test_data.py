@@ -168,3 +168,89 @@ def test_loader_host_sharding(video_dir):
     i1 = np.concatenate([b["index"] for b in l1])
     assert len(i0) == len(i1) == len(ds) // 2
     assert set(i0) | set(i1) == set(range(len(ds)))
+
+
+# ------------------------------------------------- selective PyAV decode
+class _FakeFrame:
+    def __init__(self, pts, img):
+        self.pts = pts
+        self._img = img
+
+    def to_rgb(self):
+        return self
+
+    def to_ndarray(self):
+        return self._img
+
+
+class _FakeStream:
+    def __init__(self, n, fps, timebase, with_meta):
+        self.average_rate = fps
+        self.frames = n if with_meta else 0
+        self.duration = n * timebase if with_meta else None
+
+
+class _FakeVideoContainer:
+    """Mimics the PyAV container API: pts-granular seek that snaps BACK to
+    the nearest keyframe, sequential decode from there. Counts decoded
+    frames so tests can assert selective decoding is O(clip)."""
+
+    def __init__(self, n=600, fps=30.0, timebase=512, keyframe_every=8,
+                 with_meta=True):
+        self.n = n
+        self.timebase = timebase
+        self.keyframe_every = keyframe_every
+        self.decoded = 0
+        self._pos = 0
+        rs = np.random.RandomState(0)
+        self._imgs = rs.randint(0, 255, (n, 8, 8, 3), np.uint8)
+        stream = _FakeStream(n, fps, timebase, with_meta)
+
+        class _S:
+            video = [stream]
+
+        self.streams = _S()
+
+    def seek(self, offset, any_frame=False, backward=True, stream=None):
+        assert backward and not any_frame
+        frame = min(offset // self.timebase, self.n - 1)
+        self._pos = int(frame // self.keyframe_every * self.keyframe_every)
+
+    def decode(self, stream):
+        for i in range(self._pos, self.n):
+            self.decoded += 1
+            yield _FakeFrame(i * self.timebase, self._imgs[i])
+
+
+def test_pyav_selective_decode_is_o_clip():
+    """With header metadata, pyav_decode reads only the clip window +
+    seek margin — independent of video length (reference decoder.py:253-326)."""
+    for n in (600, 6000):
+        c = _FakeVideoContainer(n=n)
+        frames, fps, decode_all = decoder.pyav_decode(
+            c, sampling_rate=2, num_frames=8, clip_idx=0, num_clips=3)
+        assert not decode_all
+        assert fps == 30.0
+        # window = 16 source frames; margin 1024 pts = 2 frames; keyframe
+        # snap-back <= 8; one past-the-end frame closes the stream
+        assert c.decoded <= 16 + 2 + 8 + 2, (n, c.decoded)
+        assert frames.shape[1:] == (8, 8, 3)
+
+    # clip content parity: selective window frames == the directly indexed
+    # frames of the full video
+    c = _FakeVideoContainer(n=600)
+    frames, fps, _ = decoder.pyav_decode(
+        c, sampling_rate=2, num_frames=8, clip_idx=1, num_clips=3)
+    s, e = decoder.get_start_end_idx(600, 16.0, 1, 3)
+    # first buffered frame = first pts >= int(s * timebase)
+    start = math.ceil(int(s * c.timebase) / c.timebase)
+    np.testing.assert_array_equal(frames[0], c._imgs[start])
+
+
+def test_pyav_decode_no_metadata_falls_back_to_full():
+    c = _FakeVideoContainer(n=120, with_meta=False)
+    frames, fps, decode_all = decoder.pyav_decode(
+        c, sampling_rate=2, num_frames=8, clip_idx=0, num_clips=3)
+    assert decode_all
+    assert c.decoded == 120
+    assert frames.shape[0] == 120
