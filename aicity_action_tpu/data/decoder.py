@@ -177,7 +177,17 @@ def _cv2_decode_indices(path: str, indices: np.ndarray) -> np.ndarray:
     out: dict[int, np.ndarray] = {}
     need = set(int(i) for i in want)
     last = max(need)
+    first = min(need)
     i = 0
+    if first > 0:
+        # seek so clip cost is O(clip), not O(position-in-video); FFmpeg
+        # lands on the prior keyframe and decodes forward internally.
+        cap.set(cv2.CAP_PROP_POS_FRAMES, first)
+        pos = int(cap.get(cv2.CAP_PROP_POS_FRAMES))
+        if pos == first:
+            i = first
+        else:  # unreliable seek on this codec: rewind and scan
+            cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
     while i <= last:
         ok = cap.grab()
         if not ok:
