@@ -27,10 +27,33 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def init_distributed(cfg) -> None:
     """Initialize multi-host JAX (no-op single host).
 
-    Replaces `multiprocessing.py:54-61`'s NCCL process-group setup.
+    Replaces `multiprocessing.py:54-61`'s NCCL process-group setup. The
+    reference's ``--init_method tcp://host:port`` rendezvous maps directly
+    onto the JAX coordinator: NUM_SHARDS = num_processes, SHARD_ID =
+    process_id.
     """
-    if cfg.NUM_SHARDS > 1 and jax.process_count() == 1:
-        jax.distributed.initialize()
+    if cfg.NUM_SHARDS <= 1:
+        return
+    # NOTE: must not call jax.process_count()/jax.devices() here — they
+    # initialize the XLA backend, after which initialize() refuses to run.
+    try:
+        already = jax.distributed.is_initialized()
+    except AttributeError:  # older jax
+        from jax._src import distributed as _dist
+
+        already = _dist.global_state.client is not None
+    if not already:
+        coord = str(getattr(cfg, "INIT_METHOD", "") or "")
+        if coord.startswith("tcp://"):
+            coord = coord[len("tcp://"):]
+        if coord:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=cfg.NUM_SHARDS,
+                process_id=cfg.SHARD_ID,
+            )
+        else:  # cluster auto-detection (GKE/SLURM/TPU pods)
+            jax.distributed.initialize()
 
 
 def make_mesh(cfg=None, devices=None) -> Mesh:
@@ -79,9 +102,32 @@ def replicate_tree(mesh: Mesh, tree: Any) -> Any:
     return jax.device_put(tree, replicated(mesh))
 
 
-def process_allgather(x):
-    """Host-side any-object gather (replaces the reference's gloo subgroup
-    pickled gather, distributed.py:220-336)."""
-    from jax.experimental import multihost_utils
+def put_local_shard(x, sharding: NamedSharding):
+    """Place this host's slice of a globally-sharded batch array.
 
-    return multihost_utils.process_allgather(x)
+    Single-process: plain ``device_put``. Multi-process: each host holds
+    only its own rows (the loader shards indices per host), so the global
+    array is assembled from process-local data (the reference's per-rank
+    DistributedSampler batches, datasets/utils.py:326-341)."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+    return jax.device_put(x, sharding)
+
+
+def process_allgather(x):
+    """Host-side gather of per-process arrays; returns a list (one entry per
+    process) so callers ``np.concatenate`` it. Handles RAGGED leading axes
+    by exchanging lengths first and padding to the max (replaces the
+    reference's byte-padded gloo pickled gather, distributed.py:220-336)."""
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return [x]
+    from jax.experimental import multihost_utils as mhu
+
+    lengths = np.asarray(mhu.process_allgather(np.int64(x.shape[0])))
+    m = int(lengths.max())
+    if x.shape[0] < m:
+        pad = np.zeros((m - x.shape[0], *x.shape[1:]), x.dtype)
+        x = np.concatenate([x, pad])
+    gathered = np.asarray(mhu.process_allgather(x))
+    return [gathered[p, :int(lengths[p])] for p in range(len(lengths))]
