@@ -470,109 +470,86 @@ class MultiScaleAttention(nn.Module):
                 param_dtype=self.param_dtype, name=f"norm_{name}",
             )(t)
 
-        if not self.has_cls:
-            # TPU-fast layout: heads stay folded in the channel dim
-            # ([B, L, h*d]) through pooling — all heads share the depthwise
-            # pool weights (the reference folds heads into batch; identical
-            # math), so ONE conv with h-tiled weights pools every head, and
-            # the flash kernel slices heads via its grid. No head-major
-            # transposes anywhere; the q-residual add is layout-free.
+        # TPU-fast layout: heads stay folded in the channel dim
+        # ([B, L, h*d]) through pooling — all heads share the depthwise
+        # pool weights (the reference folds heads into batch; identical
+        # math), so ONE conv with h-tiled weights pools every head, and
+        # the flash kernel slices heads via its grid. No head-major
+        # transposes before pooling; the q-residual add is layout-free.
+        # A cls token (if any) bypasses pooling and rejoins before the
+        # pool norm (reference attention_pool order: pool -> re-attach
+        # cls -> LN, attention.py:12-83); its odd sequence lengths go
+        # through the padded flash kernel (masked KV columns).
 
-            def _pool_fused(t, name, kernel, stride):
-                if self.mode == "conv":
-                    w = jnp.tile(_pool_param(name, kernel), (1, 1, 1, 1, h))
-                else:
-                    w = None
-                t, new_thw = attention_pool(
-                    t, thw, mode=self.mode, kernel=kernel, stride=stride,
-                    conv_weights=w, has_cls=False,
-                )
-                if self.mode == "conv":
-                    t = _norm(name, t, groups=h)
-                return t, new_thw
-
-            out_thw = thw
-            if do_q:
-                q, out_thw = _pool_fused(q, "q", self.kernel_q, self.stride_q)
-            if do_kv:
-                k, _ = _pool_fused(k, "k", self.kernel_kv, self.stride_kv)
-                v, _ = _pool_fused(v, "v", self.kernel_kv, self.stride_kv)
-
-            Lq, Lk = q.shape[1], k.shape[1]
-            q4 = q.reshape(B, Lq, h, d)
-            k4 = k.reshape(B, Lk, h, d)
-            v4 = v.reshape(B, Lk, h, d)
-            if (
-                self.use_flash
-                and not fa.is_disabled()
-                and jax.default_backend() == "tpu"
-                and flash_attention_supported(Lq, Lk, d)
-            ):
-                if h == 1:
-                    # [B, L, 1, d] ≡ [G, L, d]: zero-copy into the kernel
-                    out = flash_attention(
-                        q.reshape(B, Lq, d), k.reshape(B, Lk, d),
-                        v.reshape(B, Lk, d), scale,
-                    ).reshape(B, Lq, C)
-                else:
-                    # head-major transposes happen on POOLED tensors only
-                    # (4-64x smaller than the pre-pool activations)
-                    out = flash_attention(
-                        q4.transpose(0, 2, 1, 3).reshape(B * h, Lq, d),
-                        k4.transpose(0, 2, 1, 3).reshape(B * h, Lk, d),
-                        v4.transpose(0, 2, 1, 3).reshape(B * h, Lk, d),
-                        scale,
-                    ).reshape(B, h, Lq, d).transpose(0, 2, 1, 3)
-                    out = out.reshape(B, Lq, C)
+        def _pool_fused(t, name, kernel, stride):
+            if self.mode == "conv":
+                w = jnp.tile(_pool_param(name, kernel), (1, 1, 1, 1, h))
             else:
-                attn = jnp.einsum(
-                    "bqhd,bkhd->bhqk", q4, k4,
-                    preferred_element_type=jnp.float32,
-                ) * scale
-                attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-                out = jnp.einsum(
-                    "bhqk,bkhd->bqhd", attn, v4,
-                    preferred_element_type=jnp.float32,
-                ).astype(self.dtype)
-                out = out.reshape(B, Lq, C)
-            if self.q_pool_residual:
-                out = out + q
+                w = None
+            cls_tok, body = (
+                (t[:, :1], t[:, 1:]) if self.has_cls else (None, t))
+            body, new_thw = attention_pool(
+                body, thw, mode=self.mode, kernel=kernel, stride=stride,
+                conv_weights=w, has_cls=False,
+            )
+            t = (body if cls_tok is None
+                 else jnp.concatenate([cls_tok, body], axis=1))
+            if self.mode == "conv":
+                t = _norm(name, t, groups=h)
+            return t, new_thw
+
+        out_thw = thw
+        if do_q:
+            q, out_thw = _pool_fused(q, "q", self.kernel_q, self.stride_q)
+        if do_kv:
+            k, _ = _pool_fused(k, "k", self.kernel_kv, self.stride_kv)
+            v, _ = _pool_fused(v, "v", self.kernel_kv, self.stride_kv)
+
+        Lq, Lk = q.shape[1], k.shape[1]
+        q4 = q.reshape(B, Lq, h, d)
+        k4 = k.reshape(B, Lk, h, d)
+        v4 = v.reshape(B, Lk, h, d)
+        use_fa = (
+            self.use_flash
+            and not fa.is_disabled()
+            and jax.default_backend() == "tpu"
+        )
+        if use_fa and flash_attention_supported(Lq, Lk, d):
+            fa_fn = flash_attention
+        elif use_fa and fa.flash_attention_padded_supported(Lq, Lk, d):
+            fa_fn = fa.flash_attention_padded
         else:
-            # cls-token path: head-major layout (the cls token bypasses
-            # pooling, which breaks the fused-channel formulation)
-            q = q.reshape(B, L, h, d).transpose(0, 2, 1, 3)
-            k = k.reshape(B, L, h, d).transpose(0, 2, 1, 3)
-            v = v.reshape(B, L, h, d).transpose(0, 2, 1, 3)
-
-            def _pool(t, name, kernel, stride):
-                w = (_pool_param(name, kernel) if self.mode == "conv"
-                     else None)
-                t, new_thw = attention_pool(
-                    t, thw, mode=self.mode, kernel=kernel, stride=stride,
-                    conv_weights=w, has_cls=self.has_cls,
-                )
-                if self.mode == "conv":
-                    t = _norm(name, t)
-                return t, new_thw
-
-            out_thw = thw
-            if do_q:
-                q, out_thw = _pool(q, "q", self.kernel_q, self.stride_q)
-            if do_kv:
-                k, _ = _pool(k, "k", self.kernel_kv, self.stride_kv)
-                v, _ = _pool(v, "v", self.kernel_kv, self.stride_kv)
-
-            Lq = q.shape[2]
+            fa_fn = None
+        if fa_fn is not None:
+            if h == 1:
+                # [B, L, 1, d] == [G, L, d]: zero-copy into the kernel
+                out = fa_fn(
+                    q.reshape(B, Lq, d), k.reshape(B, Lk, d),
+                    v.reshape(B, Lk, d), scale,
+                ).reshape(B, Lq, C)
+            else:
+                # head-major transposes happen on POOLED tensors only
+                # (4-64x smaller than the pre-pool activations)
+                out = fa_fn(
+                    q4.transpose(0, 2, 1, 3).reshape(B * h, Lq, d),
+                    k4.transpose(0, 2, 1, 3).reshape(B * h, Lk, d),
+                    v4.transpose(0, 2, 1, 3).reshape(B * h, Lk, d),
+                    scale,
+                ).reshape(B, h, Lq, d).transpose(0, 2, 1, 3)
+                out = out.reshape(B, Lq, C)
+        else:
             attn = jnp.einsum(
-                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+                "bqhd,bkhd->bhqk", q4, k4,
+                preferred_element_type=jnp.float32,
             ) * scale
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             out = jnp.einsum(
-                "bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32
+                "bhqk,bkhd->bqhd", attn, v4,
+                preferred_element_type=jnp.float32,
             ).astype(self.dtype)
-            out = out.transpose(0, 2, 1, 3).reshape(B, Lq, C)
-            if self.q_pool_residual:
-                out = out + q.transpose(0, 2, 1, 3).reshape(B, Lq, C)
+            out = out.reshape(B, Lq, C)
+        if self.q_pool_residual:
+            out = out + q
 
         out = nn.Dense(
             C,

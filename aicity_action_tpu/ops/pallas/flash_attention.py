@@ -32,8 +32,10 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 # candidate tile sizes, multiples of 8 (f32 sublane); picked by divisibility
-_Q_TILES = (512, 448, 392, 256, 196, 128, 98, 64, 56, 32, 16, 8)
+_Q_TILES = (1024, 512, 448, 392, 256, 196, 128, 98, 64, 56, 32, 16, 8)
 _K_TILES = (1568, 1024, 784, 512, 392, 256, 196, 128, 98, 64, 56, 32, 16, 8)
+_K_TILES_BIG = (3136, 1568, 1024, 784, 512, 392, 256, 196, 128, 98, 64, 56,
+                32, 16, 8)
 
 
 def _pick_tile(length: int, candidates, cap: int) -> int | None:
@@ -43,13 +45,41 @@ def _pick_tile(length: int, candidates, cap: int) -> int | None:
     return None
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, k_chunk: int):
-    """One (g, q_tile) program: stream K/V chunks with running softmax."""
-    q = q_ref[0].astype(jnp.float32)  # [TQ, d]
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, k_chunk: int,
+                  kv_valid: int | None = None):
+    """One (g, q_tile) program: stream K/V chunks with running softmax.
+
+    ``kv_valid``: number of REAL keys when K/V are zero-padded to a tile
+    multiple (cls-token layouts); padded columns are masked to -inf before
+    the max so they contribute nothing to the softmax."""
+    # fold the scale into q (one [TQ, d] pass) instead of scaling the much
+    # larger [TQ, Lk] logits per chunk
+    q = q_ref[0].astype(jnp.float32) * scale  # [TQ, d]
     Lk = k_ref.shape[1]
     num_k = Lk // k_chunk
     TQ = q.shape[0]
     d = q.shape[1]
+
+    if num_k == 1:
+        # single K/V chunk: plain softmax, no running-max rescale carries
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if kv_valid is not None and kv_valid < Lk:
+            cols = jax.lax.broadcasted_iota(jnp.int32, (1, Lk), 1)
+            s = jnp.where(cols < kv_valid, s, _NEG_INF)
+        m = s.max(axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = p.sum(axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0] = (acc / l).astype(o_ref.dtype)
+        return
 
     def body(j, carry):
         m, l, acc = carry
@@ -59,7 +89,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, k_chunk: int):
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
+        )
+        if kv_valid is not None and kv_valid < Lk:
+            cols = (j * k_chunk
+                    + jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1))
+            s = jnp.where(cols < kv_valid, s, _NEG_INF)
         m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -102,11 +136,13 @@ def is_disabled() -> bool:
     return _DISABLED
 
 
-def _flash_attention_fwd_impl(q, k, v, scale, q_tile, k_chunk):
+def _flash_attention_fwd_impl(q, k, v, scale, q_tile, k_chunk,
+                              kv_valid=None):
     G, Lq, d = q.shape
     Lk = k.shape[1]
     grid = (G, Lq // q_tile)
-    kernel = functools.partial(_flash_kernel, scale=scale, k_chunk=k_chunk)
+    kernel = functools.partial(_flash_kernel, scale=scale, k_chunk=k_chunk,
+                               kv_valid=kv_valid)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -141,9 +177,16 @@ def flash_attention_supported(Lq: int, Lk: int, d: int) -> bool:
     return qt is not None and kt is not None
 
 
-def _tiles_for(Lq, Lk):
-    q_tile = _pick_tile(Lq, _Q_TILES, Lq)
-    k_chunk = _pick_tile(Lk, _K_TILES, Lk)
+def _tiles_for(Lq, Lk, budget=6_500_000):
+    """Joint (q_tile, k_chunk) pick: fewer, larger K chunks amortize the
+    per-chunk VPU softmax passes; the f32 logits tile q_tile*k_chunk*4
+    stays under ``budget`` bytes of the 16 MB scoped VMEM (tighter for the
+    lse-saving forward, which carries extra blocks)."""
+    k_chunk = _pick_tile(Lk, _K_TILES_BIG, Lk)
+    if k_chunk is None:
+        k_chunk = _pick_tile(Lk, _K_TILES, Lk)
+    q_cap = max(8, (budget // (4 * k_chunk)) // 8 * 8)
+    q_tile = _pick_tile(Lq, _Q_TILES, q_cap)
     assert q_tile is not None and k_chunk is not None, (Lq, Lk)
     return q_tile, k_chunk
 
@@ -165,7 +208,7 @@ def flash_attention(q, k, v, scale: float):
 
 def _flash_fwd(q, k, v, scale):
     """Forward rule under AD: also saves the per-row logsumexp."""
-    q_tile, k_chunk = _tiles_for(q.shape[1], k.shape[1])
+    q_tile, k_chunk = _tiles_for(q.shape[1], k.shape[1], budget=4_000_000)
     out, lse = _flash_fwd_with_lse(q, k, v, scale, q_tile, k_chunk)
     return out, (q, k, v, out, lse)
 
@@ -178,7 +221,7 @@ def _flash_fwd(q, k, v, scale):
 # on the training step.
 
 def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
-                          scale, k_chunk):
+                          scale, k_chunk, kv_valid=None):
     q = q_ref[0].astype(jnp.float32)
     Lk = k_ref.shape[1]
     num_k = Lk // k_chunk
@@ -191,6 +234,10 @@ def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
+        if kv_valid is not None and kv_valid < Lk:
+            cols = (j * k_chunk
+                    + jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1))
+            s = jnp.where(cols < kv_valid, s, _NEG_INF)
         m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -208,11 +255,11 @@ def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     lse_ref[0, 0, 0] = (m + jnp.log(l))[:, 0]
 
 
-def _flash_fwd_with_lse(q, k, v, scale, q_tile, k_chunk):
+def _flash_fwd_with_lse(q, k, v, scale, q_tile, k_chunk, kv_valid=None):
     G, Lq, d = q.shape
     Lk = k.shape[1]
     kernel = functools.partial(_flash_fwd_lse_kernel, scale=scale,
-                               k_chunk=k_chunk)
+                               k_chunk=k_chunk, kv_valid=kv_valid)
     return pl.pallas_call(
         kernel,
         grid=(G, Lq // q_tile),
@@ -308,7 +355,8 @@ def _flash_bwd(scale, res, g):
     q, k, v, out, lse = res
     G, Lq, d = q.shape
     Lk = k.shape[1]
-    q_tile = _pick_tile(Lq, _Q_TILES, Lq)
+    # q tiling MUST match the forward's lse tiling [G, nq, 1, TQ]
+    q_tile = lse.shape[3]
     k_chunk = _pick_tile(Lk, _K_TILES, Lk)
     # delta = rowsum(dO * O), precomputed in XLA (cheap elementwise)
     delta = (g.astype(jnp.float32) * out.astype(jnp.float32)).sum(-1)
@@ -453,7 +501,7 @@ def flash_attention_blhd(q, k, v, scale: float):
 def _flash_blhd_fwd(q, k, v, scale):
     B, Lq, h, d = q.shape
     Lk = k.shape[1]
-    q_tile = _pick_tile(Lq, _Q_TILES, Lq)
+    q_tile = _pick_tile(Lq, _Q_TILES, 512)
     k_chunk = _pick_tile(Lk, _K_TILES, Lk)
     assert q_tile is not None and k_chunk is not None, (Lq, Lk)
     return _flash_blhd_impl(q, k, v, scale, q_tile, k_chunk), (q, k, v)
@@ -476,4 +524,75 @@ def _flash_blhd_bwd(scale, res, g):
 flash_attention_blhd.defvjp(
     lambda q, k, v, scale: _flash_blhd_fwd(q, k, v, scale),
     _flash_blhd_bwd,
+)
+
+
+# ------------------------------------------------- padded (cls-token) path
+# MViT configs with CLS_EMBED_ON have odd sequence lengths (1 + T*H*W) that
+# no tile divides (reference cls handling: attention.py:263-279). Zero-pad
+# q/k/v to tile multiples and mask the padded KEY columns to -inf inside the
+# forward kernels; padded q rows produce garbage that is sliced off, and the
+# backward needs no mask: padded K/V are zeros, so their contributions to
+# dq vanish, while dk/dv rows in the padding are discarded by the slice.
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _pad_len(n: int) -> int:
+    return _round_up(n, 128 if n >= 128 else 8)
+
+
+def flash_attention_padded_supported(Lq: int, Lk: int, d: int) -> bool:
+    lkp = _pad_len(Lk)
+    if 2 * lkp * d * 4 > 10 * 1024 * 1024:
+        return False
+    return (_pick_tile(_pad_len(Lq), _Q_TILES, 512) is not None
+            and _pick_tile(lkp, _K_TILES, lkp) is not None)
+
+
+def _pad_qkv(q, k, v):
+    Lq, Lk = q.shape[1], k.shape[1]
+    lqp, lkp = _pad_len(Lq), _pad_len(Lk)
+    pq = jnp.pad(q, ((0, 0), (0, lqp - Lq), (0, 0)))
+    pk = jnp.pad(k, ((0, 0), (0, lkp - Lk), (0, 0)))
+    pv = jnp.pad(v, ((0, 0), (0, lkp - Lk), (0, 0)))
+    return pq, pk, pv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention_padded(q, k, v, scale: float):
+    """Flash attention for arbitrary (non-tile-divisible) lengths.
+
+    Same contract as :func:`flash_attention`; q/k/v are ``[G, L, d]`` with
+    any L.
+    """
+    Lq, Lk = q.shape[1], k.shape[1]
+    pq, pk, pv = _pad_qkv(q, k, v)
+    q_tile, k_chunk = _tiles_for(pq.shape[1], pk.shape[1])
+    out = _flash_attention_fwd_impl(pq, pk, pv, scale, q_tile, k_chunk,
+                                    kv_valid=Lk)
+    return out[:, :Lq]
+
+
+def _flash_padded_fwd(q, k, v, scale):
+    Lq, Lk = q.shape[1], k.shape[1]
+    pq, pk, pv = _pad_qkv(q, k, v)
+    q_tile, k_chunk = _tiles_for(pq.shape[1], pk.shape[1],
+                                 budget=4_000_000)
+    out, lse = _flash_fwd_with_lse(pq, pk, pv, scale, q_tile, k_chunk,
+                                   kv_valid=Lk)
+    return out[:, :Lq], (pq, pk, pv, out, lse, Lq, Lk)
+
+
+def _flash_padded_bwd(scale, res, g):
+    pq, pk, pv, out, lse, Lq, Lk = res
+    gp = jnp.pad(g, ((0, 0), (0, pq.shape[1] - Lq), (0, 0)))
+    dq, dk, dv = _flash_bwd(scale, (pq, pk, pv, out, lse), gp)
+    return dq[:, :Lq], dk[:, :Lk], dv[:, :Lk]
+
+
+flash_attention_padded.defvjp(
+    lambda q, k, v, scale: _flash_padded_fwd(q, k, v, scale),
+    _flash_padded_bwd,
 )

@@ -1,50 +1,46 @@
 #!/usr/bin/env python3
-"""Headline benchmark: MViT-v2-B 16x4 @ 448 inference throughput per chip.
+"""Headline benchmark: MViT-v2-B 16x4 @ 448 on one chip.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
+Prints ONE JSON line with the primary metric plus the BASELINE.md
+companions:
+  value           clips/sec/chip, bf16 inference
+  mfu             measured model-FLOPs utilization: XLA-cost-analysis FLOPs
+                  x clips/sec / v5e peak (197 bf16 TFLOP/s)
+  p50_video_s     wall-clock for one A2-length (10-min, 540p) video through
+                  the streaming sliding-window scorer (decode -> windows ->
+                  chunked scoring on-chip), the BASELINE.json second metric
+  vs_baseline     vs the >=3x-A100 target. The reference publishes no A100
+                  throughput; the anchor is derived transparently:
+                  A100 TF32 peak 156 TFLOP/s x 20% util (typical eager-torch
+                  video-model efficiency) / flops_per_clip.
 
 Protocol notes for this environment:
 - timing uses a jitted fori_loop whose iterations are data-dependent
   (``x *= 1 + eps * mean(preds)``) so XLA cannot elide model calls, and
   completion is observed by materializing one scalar — ``block_until_ready``
   does not reliably wait through the axon tunnel after the first execution.
-- ``vs_baseline`` compares against the BASELINE.md target of >=3x A100
-  throughput on v5e-8. The reference publishes no A100 clips/sec; we use an
-  estimated 30 clips/s/A100 for MViT-v2-B 16x4 @448 inference (~420 GFLOPs/
-  clip at ~35% TF32 utilization), i.e. a per-chip target of
-  3 * 30 / 8 = 11.25 clips/s. vs_baseline = measured / 11.25.
+- set BENCH_VIDEO_MIN=0 to skip the (slow) sliding-window video section.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-BATCH = 4
+BATCH = 8
 CROP = 448
 ITERS = 10
-A100_EST_CLIPS_PER_SEC = 30.0
-TARGET_PER_CHIP = 3.0 * A100_EST_CLIPS_PER_SEC / 8.0
+TPU_PEAK_FLOPS = 197e12          # v5e bf16
+A100_TF32_PEAK = 156e12
+A100_ASSUMED_UTIL = 0.20         # typical eager-torch video-model efficiency
+VIDEO_MIN = float(os.environ.get("BENCH_VIDEO_MIN", "10"))
 
 
-def main():
+def _clip_throughput(module, params, cfg):
     import jax
     import jax.numpy as jnp
-
-    from aicity_action_tpu.config import get_cfg
-    from aicity_action_tpu.models.build import build_model
-
-    cfg = get_cfg()
-    cfg.merge_from_file(
-        "/root/reference/configs/Aicity/MVITV2_FULL_B_16x4_CONV_448.yaml"
-    )
-    cfg.DATA.TRAIN_CROP_SIZE = CROP
-    cfg.DATA.TEST_CROP_SIZE = CROP
-    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
-
-    module, params = build_model(cfg)
 
     def chain(p, x):
         def body(i, x):
@@ -54,24 +50,109 @@ def main():
 
     f = jax.jit(chain)
     x = jnp.asarray(
-        np.random.RandomState(0).randn(BATCH, 16, CROP, CROP, 3), jnp.bfloat16
-    )
-    # compile + first run
-    r = f(params, x)
+        np.random.RandomState(0).randn(BATCH, 16, CROP, CROP, 3),
+        jnp.bfloat16)
+    r = f(params, x)                      # compile + first run
     _ = np.asarray(r.ravel()[0])
-    # timed run
     t0 = time.time()
     r = f(params, x)
     _ = np.asarray(r.ravel()[0])
     dt = (time.time() - t0) / ITERS
     clips_per_sec = BATCH / dt
 
-    print(json.dumps({
-        "metric": "clips/sec/chip MViT-v2-B 16x4@448 bf16 inference (bs=4)",
+    # model FLOPs from XLA cost analysis of ONE forward
+    single = jax.jit(lambda p, x: module.apply({"params": p}, [x]))
+    try:
+        cost = single.lower(params, x).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops_per_clip = float(cost["flops"]) / BATCH
+    except Exception:
+        flops_per_clip = float("nan")
+    return clips_per_sec, flops_per_clip
+
+
+def _p50_video(module, params, minutes: float):
+    """One synthetic A2-length 540p video through the streaming scorer."""
+    import tempfile
+
+    import cv2
+
+    from aicity_action_tpu.parallel.mesh import make_mesh
+    from aicity_action_tpu.pipeline.window_inference import (
+        WindowDataset, WindowScorer,
+    )
+
+    fps, size = 30, (960, 540)
+    n_frames = int(minutes * 60 * fps)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "a2.mp4")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, size)
+        assert w.isOpened()
+        rs = np.random.RandomState(0)
+        base = rs.randint(0, 255, (size[1], size[0], 3), np.uint8)
+        for i in range(n_frames):
+            w.write(np.roll(base, 7 * i, axis=1))
+        w.release()
+
+        mesh = make_mesh()
+        scorer = WindowScorer(module, params, mesh, batch_size=BATCH)
+        # warm the compile on a few windows so p50 measures steady state
+        warm = WindowDataset(path, frame_size=CROP)
+        warm.windows = warm.windows[:2 * BATCH]
+        scorer.score_video(warm)
+
+        ds = WindowDataset(path, frame_size=CROP)
+        t0 = time.time()
+        preds = scorer.score_video(ds)
+        dt = time.time() - t0
+        assert len(preds) == len(ds)
+    return dt, len(ds)
+
+
+def main():
+    from aicity_action_tpu.config import get_cfg
+    from aicity_action_tpu.models.build import build_model
+
+    cfg = get_cfg()
+    cfg.merge_from_file(
+        "/root/reference/configs/Aicity/MVITV2_FULL_B_16x4_CONV_448.yaml")
+    cfg.DATA.TRAIN_CROP_SIZE = CROP
+    cfg.DATA.TEST_CROP_SIZE = CROP
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    module, params = build_model(cfg)
+
+    clips_per_sec, flops_per_clip = _clip_throughput(module, params, cfg)
+    mfu = (flops_per_clip * clips_per_sec / TPU_PEAK_FLOPS
+           if np.isfinite(flops_per_clip) else None)
+
+    p50_video_s = n_windows = None
+    if VIDEO_MIN > 0:
+        try:
+            p50_video_s, n_windows = _p50_video(module, params, VIDEO_MIN)
+        except Exception as e:  # video metric must not sink the headline
+            print(f"# video metric failed: {e}", file=sys.stderr)
+
+    a100_est = (A100_TF32_PEAK * A100_ASSUMED_UTIL / flops_per_clip
+                if np.isfinite(flops_per_clip) else 30.0)
+    target_per_chip = 3.0 * a100_est / 8.0
+
+    out = {
+        "metric": f"clips/sec/chip MViT-v2-B 16x4@448 bf16 inference "
+                  f"(bs={BATCH})",
         "value": round(clips_per_sec, 2),
         "unit": "clips/sec/chip",
-        "vs_baseline": round(clips_per_sec / TARGET_PER_CHIP, 3),
-    }))
+        "vs_baseline": round(clips_per_sec / target_per_chip, 3),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "flops_per_clip_g": (round(flops_per_clip / 1e9, 1)
+                             if np.isfinite(flops_per_clip) else None),
+        "a100_est_clips_per_sec": round(a100_est, 1),
+    }
+    if p50_video_s is not None:
+        out["p50_video_s"] = round(p50_video_s, 1)
+        out["video_minutes"] = VIDEO_MIN
+        out["windows_per_video"] = n_windows
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

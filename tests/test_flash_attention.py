@@ -227,3 +227,45 @@ class TestFusedDense:
         for a, e in zip(g, gw):
             np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                        rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------- padded (cls-token) path
+@pytest.mark.parametrize("G,Lq,Lk,d", [
+    (2, 393, 393, 96),    # 1 + 8*7*7: MViT-v1 K400 cls layout
+    (1, 1569, 99, 32),    # odd both ways
+    (2, 25089, 1569, 96), # 1 + 56*56*8 q against 1 + 1568 kv
+])
+def test_padded_forward_parity(G, Lq, Lk, d):
+    rs = np.random.RandomState(1)
+    q = jnp.asarray(rs.randn(G, Lq, d), jnp.float32)
+    k = jnp.asarray(rs.randn(G, Lk, d), jnp.float32)
+    v = jnp.asarray(rs.randn(G, Lk, d), jnp.float32)
+    scale = d ** -0.5
+    assert fa.flash_attention_padded_supported(Lq, Lk, d)
+    out = fa.flash_attention_padded(q, k, v, scale)
+    assert out.shape == (G, Lq, d)
+    ref = _ref(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_padded_vjp_matches_reference():
+    rs = np.random.RandomState(2)
+    G, Lq, Lk, d = 2, 129, 67, 32
+    q = jnp.asarray(rs.randn(G, Lq, d), jnp.float32)
+    k = jnp.asarray(rs.randn(G, Lk, d), jnp.float32)
+    v = jnp.asarray(rs.randn(G, Lk, d), jnp.float32)
+    scale = d ** -0.5
+    cot = jnp.asarray(rs.randn(G, Lq, d), jnp.float32)
+
+    out, vjp = jax.vjp(lambda q, k, v: fa.flash_attention_padded(
+        q, k, v, scale), q, k, v)
+    dq, dk, dv = vjp(cot)
+    ref_out, ref_vjp = jax.vjp(lambda q, k, v: _ref(q, k, v, scale).astype(
+        q.dtype), q, k, v)
+    rdq, rdk, rdv = ref_vjp(cot)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=2e-5, rtol=1e-4)
+    for a, b in zip((dq, dk, dv), (rdq, rdk, rdv)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-3)
