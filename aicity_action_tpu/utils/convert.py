@@ -163,42 +163,66 @@ def inflate_2d_to_3d(weight_2d: np.ndarray, time_dim: int) -> np.ndarray:
 
 
 def get_c2_name_convert_func():
-    """caffe2 → pytorch layer-name conversion (reference:
-    c2_model_loading.py:get_name_convert_func rule set, re-expressed).
+    """caffe2 → pytorch layer-name conversion.
 
-    Returns a function mapping one caffe2 blob name to the pytorch name the
-    rest of the converter understands.
+    The FULL sequential rule chain of the reference
+    (`c2_model_loading.py:9-120`): every substitution is applied in order
+    (the later generic suffix rules finish names the structural rules
+    produced). This is required behavior — a caffe2 blob must map to
+    exactly the same pytorch name the reference would produce.
     """
     import re
 
-    pairs = [
-        # stem
-        (r"^conv1_w$", "s1.pathway0_stem.conv.weight"),
-        (r"^conv1_bn_(s|b)$", lambda m: "s1.pathway0_stem.bn."
-         + ("weight" if m.group(1) == "s" else "bias")),
-        (r"^conv1_bn_(rm|riv)$", lambda m: "s1.pathway0_stem.bn."
-         + ("running_mean" if m.group(1) == "rm" else "running_var")),
-        # residual blocks: resN_M_branchB[_suffix]
-        (r"^res(\d)_(\d+)_branch([12])([a-c]?)_w$",
-         lambda m: f"s{int(m.group(1))}.pathway0_res{m.group(2)}."
-         + (f"branch1.weight" if m.group(3) == "1"
-            else f"branch2.{m.group(4)}.weight")),
-        (r"^res(\d)_(\d+)_branch([12])([a-c]?)_bn_(s|b|rm|riv)$",
-         lambda m: f"s{int(m.group(1))}.pathway0_res{m.group(2)}."
-         + ("branch1_bn." if m.group(3) == "1"
-            else f"branch2.{m.group(4)}_bn.")
-         + {"s": "weight", "b": "bias", "rm": "running_mean",
-            "riv": "running_var"}[m.group(5)]),
-        # head
-        (r"^pred_w$", "head.projection.weight"),
-        (r"^pred_b$", "head.projection.bias"),
+    chain = [
+        # non-local blocks: nonlocal_convS_N_* → sS.pathway0_nonlocalN_*
+        (r"^nonlocal_conv([0-9]+)_([0-9]+)_(.*)",
+         r"s\1.pathway0_nonlocal\2_\3"),
+        (r"^(.*)_nonlocal([0-9]+)_(theta)(.*)", r"\1_nonlocal\2.conv_\3\4"),
+        (r"^(.*)_nonlocal([0-9]+)_(g)(.*)", r"\1_nonlocal\2.conv_\3\4"),
+        (r"^(.*)_nonlocal([0-9]+)_(phi)(.*)", r"\1_nonlocal\2.conv_\3\4"),
+        (r"^(.*)_nonlocal([0-9]+)_(out)(.*)", r"\1_nonlocal\2.conv_\3\4"),
+        (r"^(.*)_nonlocal([0-9]+)_(bn)_(.*)", r"\1_nonlocal\2.\3.\4"),
+        # SlowFast lateral fusion
+        (r"^t_pool1_subsample_bn_(.*)", r"s1_fuse.bn.\1"),
+        (r"^t_pool1_subsample_(.*)", r"s1_fuse.conv_f2s.\1"),
+        (r"^t_res([0-9]+)_([0-9]+)_branch2c_bn_subsample_bn_(.*)",
+         r"s\1_fuse.bn.\3"),
+        (r"^t_res([0-9]+)_([0-9]+)_branch2c_bn_subsample_(.*)",
+         r"s\1_fuse.conv_f2s.\3"),
+        # slow-pathway residual blocks + stem
+        (r"^res([0-9]+)_([0-9]+)_branch([0-9]+)([a-z])_(.*)",
+         r"s\1.pathway0_res\2.branch\3.\4_\5"),
+        (r"^res_conv1_bn_(.*)", r"s1.pathway0_stem.bn.\1"),
+        (r"^conv1_xy(.*)", r"s1.pathway0_stem.conv_xy\1"),
+        (r"^conv1_(.*)", r"s1.pathway0_stem.conv.\1"),
+        (r"^res([0-9]+)_([0-9]+)_branch([0-9]+)_(.*)",
+         r"s\1.pathway0_res\2.branch\3_\4"),
+        (r"^res_conv1_(.*)", r"s1.pathway0_stem.conv.\1"),
+        # fast-pathway (t_-prefixed) residual blocks + stem
+        (r"^t_res([0-9]+)_([0-9]+)_branch([0-9]+)([a-z])_(.*)",
+         r"s\1.pathway1_res\2.branch\3.\4_\5"),
+        (r"^t_res_conv1_bn_(.*)", r"s1.pathway1_stem.bn.\1"),
+        (r"^t_conv1_(.*)", r"s1.pathway1_stem.conv.\1"),
+        (r"^t_res([0-9]+)_([0-9]+)_branch([0-9]+)_(.*)",
+         r"s\1.pathway1_res\2.branch\3_\4"),
+        (r"^t_res_conv1_(.*)", r"s1.pathway1_stem.conv.\1"),
+        # heads (incl. X3D conv_5/lin_5 and SE blocks)
+        (r"pred_(.*)", r"head.projection.\1"),
+        (r"(.*)b_bn_fc(.*)", r"\1se.fc\2"),
+        (r"conv_5(.*)", r"head.conv_5\1"),
+        (r"lin_5(.*)", r"head.lin_5\1"),
+        # generic BN / weight / bias suffixes (run LAST, finish any name)
+        (r"(.*)bn.b\Z", r"\1bn.bias"),
+        (r"(.*)bn.s\Z", r"\1bn.weight"),
+        (r"(.*)bn.rm\Z", r"\1bn.running_mean"),
+        (r"(.*)bn.riv\Z", r"\1bn.running_var"),
+        (r"(.*)[\._]b\Z", r"\1.bias"),
+        (r"(.*)[\._]w\Z", r"\1.weight"),
     ]
 
     def convert(name: str) -> str:
-        for pat, repl in pairs:
-            m = re.match(pat, name)
-            if m:
-                return repl(m) if callable(repl) else repl
+        for pat, repl in chain:
+            name = re.sub(pat, repl, name)
         return name
 
     return convert
