@@ -161,7 +161,7 @@ def _cv2_decode_all(path: str) -> tuple[np.ndarray, float]:
         ok, frame = cap.read()
         if not ok:
             break
-        frames.append(frame[:, :, ::-1])  # BGR -> RGB
+        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
     cap.release()
     if not frames:
         raise RuntimeError(f"cv2 decoded 0 frames from {path}")
@@ -196,7 +196,7 @@ def _cv2_decode_indices(path: str, indices: np.ndarray) -> np.ndarray:
             ok, frame = cap.retrieve()
             if not ok:
                 break
-            out[i] = frame[:, :, ::-1]
+            out[i] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
         i += 1
     cap.release()
     if not out:

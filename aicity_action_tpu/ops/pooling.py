@@ -50,26 +50,10 @@ def depthwise_conv3d(
     """
     s = _as3(stride)
     p = _as3(padding)
-    B, T, H, W, C = x.shape
-    kT = weights.shape[0]
-    t_out = (T + 2 * p[0] - kT) // s[0] + 1
-    if s[0] == 1 and kT > 1 and H * W >= 56 * 56:
-        # time-shifted sum of kT depthwise 2-D convs — profiled 16-32%
-        # faster than XLA's depthwise conv3d lowering on the large maps
-        # (the 3-D form gets a hostile batch-minor output layout)
-        xp = jnp.pad(x, ((0, 0), (p[0], p[0]), (0, 0), (0, 0), (0, 0)))
-        out = None
-        for a in range(kT):
-            xa = xp[:, a:a + t_out].reshape(B * t_out, H, W, C)
-            o = lax.conv_general_dilated(
-                xa, weights[a],
-                window_strides=(s[1], s[2]),
-                padding=[(p[1], p[1]), (p[2], p[2])],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=C,
-            )
-            out = o if out is None else out + o
-        return out.reshape(B, t_out, out.shape[1], out.shape[2], C)
+    # NOTE (negative result): decomposing into kT time-shifted depthwise 2-D
+    # convs wins 16-32% in an isolated microbench but LOSES ~8 ms/iter inside
+    # the full model (the pad/slice/add chain breaks XLA's surrounding
+    # fusions); the plain 3-D form stays. See docs/DESIGN.md §8.
     return lax.conv_general_dilated(
         x,
         weights,

@@ -110,7 +110,7 @@ class WindowDataset:
                 ok, frame = cap.retrieve()
                 if not ok:
                     break
-                out[i] = frame[:, :, ::-1]
+                out[i] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
                 need.pop(0)
             i += 1
         cap.release()
@@ -226,7 +226,10 @@ class WindowDataset:
                 if not ok:
                     eof = True
                     break
-                buf[frame_idx] = frame[:, :, ::-1]
+                # SIMD BGR->RGB giving a CONTIGUOUS frame: stacking
+                # negative-stride [:, :, ::-1] views profiled at
+                # ~109 ms/window vs 2.5 ms contiguous
+                buf[frame_idx] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
                 frame_idx += 1
             yield build(idxs), t0, t1
             next_emit += 1
