@@ -142,7 +142,100 @@ class Charades:
             rng=rng)
         idxs = sample_indices(s, e, cfg.DATA.NUM_FRAMES, len(paths))
         frames = np.stack([
-            cv2.imread(paths[i])[:, :, ::-1] for i in idxs
+            cv2.cvtColor(cv2.imread(paths[i]), cv2.COLOR_BGR2RGB)
+            for i in idxs
+        ])
+        frames = transform.spatial_sampling(
+            frames, spatial_idx=spatial_idx, min_scale=min_scale,
+            max_scale=max_scale, crop_size=crop,
+            random_horizontal_flip=cfg.DATA.RANDOM_FLIP, rng=rng,
+        )
+        frames = transform.tensor_normalize(frames, cfg.DATA.MEAN,
+                                            cfg.DATA.STD)
+        n_path = 2 if cfg.MODEL.ARCH in cfg.MODEL.MULTI_PATHWAY_ARCH else 1
+        inputs = transform.pack_pathway_output(frames, n_path,
+                                               cfg.SLOWFAST.ALPHA)
+        return inputs, self._labels[video_idx], index, {}
+
+
+@DATASET_REGISTRY.register(name="Ssv2_frames")
+class Ssv2Frames:
+    """Something-Something v2 from EXTRACTED frames (reference
+    ssv2_frames.py): labels come from the official json pair
+    (``something-something-v2-labels.json`` template->id map +
+    ``something-something-v2-{train|validation}.json`` per-video
+    templates); frame paths come from a ``{train|val}.csv`` frame list
+    (same format as Charades); sampling is segment-uniform.
+    """
+
+    def __init__(self, cfg, mode: str):
+        import json
+
+        assert mode in ("train", "val", "test")
+        self.cfg = cfg
+        self.mode = mode
+        self._num_clips = (
+            1 if mode in ("train", "val")
+            else cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+        )
+        root = cfg.DATA.PATH_TO_DATA_DIR
+        with open(os.path.join(
+                root, "something-something-v2-labels.json")) as f:
+            label_dict = json.load(f)
+        split = "train" if mode == "train" else "validation"
+        with open(os.path.join(
+                root, f"something-something-v2-{split}.json")) as f:
+            label_json = json.load(f)
+        names, labels = [], {}
+        for video in label_json:
+            template = video["template"].replace("[", "").replace("]", "")
+            labels[str(video["id"])] = int(label_dict[template])
+            names.append(str(video["id"]))
+
+        csv_path = os.path.join(
+            root, "{}.csv".format("train" if mode == "train" else "val"))
+        per_video_paths = defaultdict(list)
+        with open(csv_path) as f:
+            f.readline()
+            for line in f:
+                row = line.split()
+                assert len(row) == 5, row
+                per_video_paths[row[0]].append(
+                    os.path.join(cfg.DATA.PATH_PREFIX, row[3]))
+
+        self._videos = [v for v in names if v in per_video_paths]
+        self._paths = [per_video_paths[v] for v in self._videos]
+        self._labels = [labels[v] for v in self._videos]
+
+    def __len__(self):
+        return len(self._videos) * self._num_clips
+
+    @property
+    def num_videos(self):
+        return len(self._videos)
+
+    def __getitem__(self, index: int):
+        cfg = self.cfg
+        index = int(index)
+        video_idx = index // self._num_clips
+        clip_idx = index % self._num_clips
+        rng = random.Random() if self.mode == "train" else random.Random(index)
+        paths = self._paths[video_idx]
+
+        if self.mode in ("train", "val"):
+            spatial_idx = -1
+            min_scale, max_scale = cfg.DATA.TRAIN_JITTER_SCALES
+            crop = cfg.DATA.TRAIN_CROP_SIZE
+        else:
+            spatial_idx = clip_idx % cfg.TEST.NUM_SPATIAL_CROPS
+            if cfg.TEST.NUM_SPATIAL_CROPS == 1:
+                spatial_idx = 1
+            min_scale = max_scale = crop = cfg.DATA.TEST_CROP_SIZE
+
+        idxs = get_seq_frames(len(paths), cfg.DATA.NUM_FRAMES, self.mode, rng)
+        frames = np.stack([
+            cv2.cvtColor(cv2.imread(paths[i]), cv2.COLOR_BGR2RGB)
+            for i in idxs
         ])
         frames = transform.spatial_sampling(
             frames, spatial_idx=spatial_idx, min_scale=min_scale,

@@ -254,3 +254,56 @@ def test_pyav_decode_no_metadata_falls_back_to_full():
     assert decode_all
     assert c.decoded == 120
     assert frames.shape[0] == 120
+
+
+def test_ssv2_frames_dataset(tmp_path):
+    """Ssv2_frames: official json label pair + frame-list csv
+    (reference ssv2_frames.py:75-160)."""
+    import json
+
+    root = tmp_path / "ssv2"
+    frames_dir = root / "frames"
+    frames_dir.mkdir(parents=True)
+    labels = {"Doing thing": "0", "Other thing": "1"}
+    (root / "something-something-v2-labels.json").write_text(
+        json.dumps(labels))
+    vids = [
+        {"id": "101", "template": "Doing [thing]"},
+        {"id": "102", "template": "Other [thing]"},
+    ]
+    (root / "something-something-v2-train.json").write_text(json.dumps(vids))
+    (root / "something-something-v2-validation.json").write_text(
+        json.dumps(vids))
+
+    import cv2 as _cv2
+    rows = ["original_vido_id video_id frame_id path labels"]
+    rs = np.random.RandomState(0)
+    for vid in ("101", "102"):
+        for i in range(12):
+            p = frames_dir / f"{vid}_{i:03d}.jpg"
+            _cv2.imwrite(str(p), rs.randint(0, 255, (48, 64, 3), np.uint8))
+            rows.append(f"{vid} {vid} {i} frames/{p.name} \"\"")
+    for split in ("train", "val"):
+        (root / f"{split}.csv").write_text("\n".join(rows))
+
+    cfg = get_cfg()
+    cfg.MODEL.ARCH = "mvit"
+    cfg.DATA.PATH_TO_DATA_DIR = str(root)
+    cfg.DATA.PATH_PREFIX = str(root)
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.TRAIN_JITTER_SCALES = [40, 48]
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 1
+    cfg.TEST.NUM_SPATIAL_CROPS = 3
+
+    ds = build_dataset("ssv2_frames", cfg, "train")
+    assert len(ds) == 2 and ds.num_videos == 2
+    inputs, label, idx, meta = ds[0]
+    assert inputs[0].shape == (4, 32, 32, 3)
+    assert label == 0
+    assert ds[1][1] == 1
+
+    # test mode: views x crops replication
+    ds_test = build_dataset("ssv2_frames", cfg, "test")
+    assert len(ds_test) == 2 * 3
