@@ -252,24 +252,54 @@ class Ssv2Frames:
 
 @DATASET_REGISTRY.register(name="Imagenet")
 class Imagenet:
-    """Image classification from a ``{mode}.csv`` of ``path label`` rows
-    (reference imagenet.py, simplified csv manifest). Images become
-    single-frame clips [1, H, W, 3]."""
+    """ImageNet-style image classification (reference imagenet.py).
+
+    Manifest resolution order matches the reference:
+    1. ``DATA.PATH_TO_PRELOAD_IMDB/{mode}.json`` — preloaded imdb
+       (list of ``{"im_path", "class"}``, imagenet.py:44-51);
+    2. the directory tree ``{PATH_TO_DATA_DIR}/{mode}/n<id>/*`` — class ids
+       sorted and mapped to contiguous labels (imagenet.py:53-74);
+    3. a ``{mode}.csv`` of ``path label`` rows (this framework's own
+       convenience manifest).
+    Images become single-frame clips [1, H, W, 3]."""
 
     def __init__(self, cfg, mode: str):
+        import json
+        import re
+
         self.cfg = cfg
         self.mode = mode
         self._num_clips = 1
-        path = os.path.join(cfg.DATA.PATH_TO_DATA_DIR, f"{mode}.csv")
         self._paths, self._labels = [], []
-        with open(path) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                p, label = line.split(cfg.DATA.PATH_LABEL_SEPARATOR)
-                self._paths.append(os.path.join(cfg.DATA.PATH_PREFIX,
-                                                p.strip()))
-                self._labels.append(int(label))
+
+        preload = getattr(cfg.DATA, "PATH_TO_PRELOAD_IMDB", "")
+        split_dir = os.path.join(cfg.DATA.PATH_TO_DATA_DIR, mode)
+        if preload:
+            with open(os.path.join(preload, f"{mode}.json")) as f:
+                imdb = json.load(f)
+            for entry in imdb:
+                self._paths.append(entry["im_path"])
+                self._labels.append(int(entry["class"]))
+        elif os.path.isdir(split_dir) and any(
+                re.match(r"^n[0-9]+$", d) for d in os.listdir(split_dir)):
+            class_ids = sorted(
+                d for d in os.listdir(split_dir)
+                if re.match(r"^n[0-9]+$", d))
+            for cont_id, class_id in enumerate(class_ids):
+                im_dir = os.path.join(split_dir, class_id)
+                for name in sorted(os.listdir(im_dir)):
+                    self._paths.append(os.path.join(im_dir, name))
+                    self._labels.append(cont_id)
+        else:
+            path = os.path.join(cfg.DATA.PATH_TO_DATA_DIR, f"{mode}.csv")
+            with open(path) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    p, label = line.split(cfg.DATA.PATH_LABEL_SEPARATOR)
+                    self._paths.append(os.path.join(cfg.DATA.PATH_PREFIX,
+                                                    p.strip()))
+                    self._labels.append(int(label))
 
     def __len__(self):
         return len(self._paths)

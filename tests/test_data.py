@@ -307,3 +307,42 @@ def test_ssv2_frames_dataset(tmp_path):
     # test mode: views x crops replication
     ds_test = build_dataset("ssv2_frames", cfg, "test")
     assert len(ds_test) == 2 * 3
+
+
+def test_imagenet_directory_tree_and_preload(tmp_path):
+    """Imagenet manifest resolution: class-subdir tree (reference
+    imagenet.py:53-74) and preloaded imdb json (imagenet.py:44-51)."""
+    import json
+
+    import cv2 as _cv2
+
+    root = tmp_path / "in1k"
+    rs = np.random.RandomState(0)
+    for cls in ("n01440764", "n01443537"):
+        d = root / "train" / cls
+        d.mkdir(parents=True)
+        for i in range(2):
+            _cv2.imwrite(str(d / f"im{i}.jpg"),
+                         rs.randint(0, 255, (40, 40, 3), np.uint8))
+
+    cfg = get_cfg()
+    cfg.MODEL.ARCH = "mvit"
+    cfg.DATA.PATH_TO_DATA_DIR = str(root)
+    cfg.DATA.TRAIN_JITTER_SCALES = [36, 40]
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TEST_CROP_SIZE = 32
+    ds = build_dataset("imagenet", cfg, "train")
+    assert len(ds) == 4
+    inputs, label, _, _ = ds[0]
+    assert inputs[0].shape == (1, 32, 32, 3)
+    assert sorted({ds[i][1] for i in range(4)}) == [0, 1]
+
+    # preload imdb takes priority
+    pre = tmp_path / "imdb"
+    pre.mkdir()
+    (pre / "train.json").write_text(json.dumps([
+        {"im_path": str(root / "train/n01440764/im0.jpg"), "class": 7},
+    ]))
+    cfg.DATA.PATH_TO_PRELOAD_IMDB = str(pre)
+    ds2 = build_dataset("imagenet", cfg, "train")
+    assert len(ds2) == 1 and ds2[0][1] == 7
