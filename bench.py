@@ -74,8 +74,6 @@ def _clip_throughput(module, params, cfg):
 
 def _p50_video(module, params, minutes: float):
     """One synthetic A2-length 540p video through the streaming scorer."""
-    import tempfile
-
     import cv2
 
     from aicity_action_tpu.parallel.mesh import make_mesh
@@ -85,28 +83,33 @@ def _p50_video(module, params, minutes: float):
 
     fps, size = 30, (960, 540)
     n_frames = int(minutes * 60 * fps)
-    with tempfile.TemporaryDirectory() as d:
-        path = os.path.join(d, "a2.mp4")
-        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, size)
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tmp", "bench_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"a2_{int(minutes * 60)}s.mp4")
+    if not os.path.exists(path):
+        tmp = path + ".part"
+        w = cv2.VideoWriter(tmp, cv2.VideoWriter_fourcc(*"mp4v"), fps, size)
         assert w.isOpened()
         rs = np.random.RandomState(0)
         base = rs.randint(0, 255, (size[1], size[0], 3), np.uint8)
         for i in range(n_frames):
             w.write(np.roll(base, 7 * i, axis=1))
         w.release()
+        os.replace(tmp, path)
 
-        mesh = make_mesh()
-        scorer = WindowScorer(module, params, mesh, batch_size=BATCH)
-        # warm the compile on a few windows so p50 measures steady state
-        warm = WindowDataset(path, frame_size=CROP)
-        warm.windows = warm.windows[:2 * BATCH]
-        scorer.score_video(warm)
+    mesh = make_mesh()
+    scorer = WindowScorer(module, params, mesh, batch_size=BATCH)
+    # warm the compile on a few windows so p50 measures steady state
+    warm = WindowDataset(path, frame_size=CROP)
+    warm.windows = warm.windows[:2 * BATCH]
+    scorer.score_video(warm)
 
-        ds = WindowDataset(path, frame_size=CROP)
-        t0 = time.time()
-        preds = scorer.score_video(ds)
-        dt = time.time() - t0
-        assert len(preds) == len(ds)
+    ds = WindowDataset(path, frame_size=CROP)
+    t0 = time.time()
+    preds = scorer.score_video(ds)
+    dt = time.time() - t0
+    assert len(preds) == len(ds)
     return dt, len(ds)
 
 
