@@ -39,8 +39,11 @@ _K_TILES_BIG = (3136, 1568, 1024, 784, 512, 392, 256, 196, 128, 98, 64, 56,
 
 
 def _pick_tile(length: int, candidates, cap: int) -> int | None:
+    # Mosaic block rule: the second-minor block dim must be 8-divisible OR
+    # equal the full array dim; non-x8 candidates (196, 98) are only legal
+    # when they cover the whole axis.
     for t in candidates:
-        if t <= cap and length % t == 0:
+        if t <= cap and length % t == 0 and (t % 8 == 0 or t == length):
             return t
     return None
 
