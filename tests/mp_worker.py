@@ -43,7 +43,25 @@ def main():
     from aicity_action_tpu.models.build import build_model
     from aicity_action_tpu.solver.optimizer import construct_optimizer
 
+    # create the gloo host-collective context FIRST, while both processes
+    # are still in lockstep — creating it after minutes of (load-skewed)
+    # model compilation can blow gloo's 30 s rendezvous under CI load
+    ragged = np.full((proc_id + 1, 3), proc_id, np.float32)
+    parts = pmesh.process_allgather(ragged)
+    total = np.concatenate(parts)
+    assert total.shape == (sum(range(1, num_procs + 1)), 3), total.shape
+    for p in range(num_procs):
+        assert (parts[p] == p).all()
+
     tcfg = g._flagship_cfg(tiny=True)
+    # shrink further: compile time is the flakiness budget on a 1-core host
+    tcfg.DATA.TRAIN_CROP_SIZE = 16
+    tcfg.DATA.TEST_CROP_SIZE = 16
+    tcfg.DATA.NUM_FRAMES = 2
+    tcfg.MVIT.DEPTH = 2
+    tcfg.MVIT.DIM_MUL = [[1, 2.0]]
+    tcfg.MVIT.HEAD_MUL = [[1, 2.0]]
+    tcfg.MVIT.POOL_Q_STRIDE = [[1, 1, 2, 2]]
     mesh = pmesh.make_mesh(tcfg)
     module, params = build_model(tcfg)
     tx, _ = construct_optimizer(tcfg, params, steps_per_epoch=10)
@@ -78,14 +96,6 @@ def main():
         state, metrics, _ = jitted(state, batch, rng)
         loss = float(np.asarray(metrics["loss"]))
     assert np.isfinite(loss), loss
-
-    # ragged host gather: process p contributes p+1 rows
-    ragged = np.full((proc_id + 1, 3), proc_id, np.float32)
-    parts = pmesh.process_allgather(ragged)
-    total = np.concatenate(parts)
-    assert total.shape == (sum(range(1, num_procs + 1)), 3), total.shape
-    for p in range(num_procs):
-        assert (parts[p] == p).all()
 
     print(json.dumps({"proc": proc_id, "loss": loss,
                       "devices": jax.device_count()}))
