@@ -428,108 +428,6 @@ flash_attention.defvjp(lambda q, k, v, scale: _flash_fwd(q, k, v, scale),
                        _flash_bwd)
 
 
-# --------------------------------------------------------- BLHD variant
-# Heads stay folded in the channel dim ([B, L, h, d]) through the qkv
-# projection and pooling; this kernel slices the head axis via the grid, so
-# the model never materializes a head-major transpose.
-
-def _flash_kernel_blhd(q_ref, k_ref, v_ref, o_ref, *, scale, k_chunk):
-    q = q_ref[0, :, 0, :].astype(jnp.float32)  # [TQ, d]
-    Lk = k_ref.shape[1]
-    num_k = Lk // k_chunk
-    TQ, d = q.shape
-
-    def body(j, carry):
-        m, l, acc = carry
-        k = k_ref[0, pl.ds(j * k_chunk, k_chunk), 0, :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * k_chunk, k_chunk), 0, :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + p.sum(axis=-1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return m_new, l_new, acc_new
-
-    m0 = jnp.full((TQ, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((TQ, 1), jnp.float32)
-    acc0 = jnp.zeros((TQ, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_k, body, (m0, l0, acc0))
-    o_ref[0, :, 0, :] = (acc / l).astype(o_ref.dtype)
-
-
-def _flash_blhd_impl(q, k, v, scale, q_tile, k_chunk):
-    B, Lq, h, d = q.shape
-    Lk = k.shape[1]
-    grid = (B, h, Lq // q_tile)
-    kernel = functools.partial(_flash_kernel_blhd, scale=scale,
-                               k_chunk=k_chunk)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, q_tile, 1, d), lambda b, hh, i: (b, i, hh, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lk, 1, d), lambda b, hh, i: (b, 0, hh, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lk, 1, d), lambda b, hh, i: (b, 0, hh, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, q_tile, 1, d),
-                               lambda b, hh, i: (b, i, hh, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Lq, h, d), q.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * B * h * Lq * Lk * d,
-            bytes_accessed=2 * B * h * (Lq * d + 2 * Lk * d),
-            transcendentals=B * h * Lq * Lk,
-        ),
-        interpret=INTERPRET,
-    )(q, k, v)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def flash_attention_blhd(q, k, v, scale: float):
-    """Flash attention over ``[B, L, h, d]`` tensors (head-interleaved
-    channel layout) — no head-major transpose anywhere."""
-    return _flash_blhd_fwd(q, k, v, scale)[0]
-
-
-def _flash_blhd_fwd(q, k, v, scale):
-    B, Lq, h, d = q.shape
-    Lk = k.shape[1]
-    q_tile = _pick_tile(Lq, _Q_TILES, 512)
-    k_chunk = _pick_tile(Lk, _K_TILES, Lk)
-    assert q_tile is not None and k_chunk is not None, (Lq, Lk)
-    return _flash_blhd_impl(q, k, v, scale, q_tile, k_chunk), (q, k, v)
-
-
-def _flash_blhd_bwd(scale, res, g):
-    q, k, v = res
-    qf, kf, vf, gf = (t.astype(jnp.float32) for t in (q, k, v, g))
-    s = jnp.einsum("bqhd,bkhd->bhqk", qf, kf) * scale
-    p = jax.nn.softmax(s, axis=-1)
-    dv = jnp.einsum("bhqk,bqhd->bkhd", p, gf)
-    dp = jnp.einsum("bqhd,bkhd->bhqk", gf, vf)
-    tmp = (dp * p).sum(axis=-1, keepdims=True)
-    ds = p * (dp - tmp) * scale
-    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, kf)
-    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, qf)
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
-
-
-flash_attention_blhd.defvjp(
-    lambda q, k, v, scale: _flash_blhd_fwd(q, k, v, scale),
-    _flash_blhd_bwd,
-)
-
-
 # ------------------------------------------------- padded (cls-token) path
 # MViT configs with CLS_EMBED_ON have odd sequence lengths (1 + T*H*W) that
 # no tile divides (reference cls handling: attention.py:263-279). Zero-pad

@@ -49,43 +49,6 @@ def test_supported_predicate():
     assert not fa.flash_attention_supported(1009, 392, 96)
 
 
-@pytest.mark.parametrize("B,L,Lk,h,d", [(2, 128, 64, 2, 32), (1, 392, 98, 4, 96)])
-def test_blhd_forward_parity(B, L, Lk, h, d):
-    rs = np.random.RandomState(3)
-    q = jnp.asarray(rs.randn(B, L, h, d), jnp.float32)
-    k = jnp.asarray(rs.randn(B, Lk, h, d), jnp.float32)
-    v = jnp.asarray(rs.randn(B, Lk, h, d), jnp.float32)
-    scale = d ** -0.5
-    out = fa.flash_attention_blhd(q, k, v, scale)
-    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-    p = jax.nn.softmax(s, axis=-1)
-    ref = jnp.einsum("bhqk,bkhd->bqhd", p, v)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=2e-5, rtol=1e-4)
-
-
-def test_blhd_vjp():
-    rs = np.random.RandomState(4)
-    q = jnp.asarray(rs.randn(1, 64, 2, 16), jnp.float32)
-    k = jnp.asarray(rs.randn(1, 32, 2, 16), jnp.float32)
-    v = jnp.asarray(rs.randn(1, 32, 2, 16), jnp.float32)
-    scale = 16 ** -0.5
-
-    def f1(q, k, v):
-        return fa.flash_attention_blhd(q, k, v, scale).sum()
-
-    def f2(q, k, v):
-        s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-        p = jax.nn.softmax(s, axis=-1)
-        return jnp.einsum("bhqk,bkhd->bqhd", p, v).sum()
-
-    g1 = jax.grad(f1, argnums=(0, 1, 2))(q, k, v)
-    g2 = jax.grad(f2, argnums=(0, 1, 2))(q, k, v)
-    for a, b in zip(g1, g2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-4, rtol=1e-3)
-
-
 def test_vjp_matches_reference():
     rs = np.random.RandomState(1)
     G, Lq, Lk, d = 2, 64, 32, 16
