@@ -74,7 +74,21 @@ def test(cfg):
         ensemble_method=cfg.DATA.ENSEMBLE_METHOD,
     )
 
-    jitted_eval = jax.jit(make_eval_step(module))
+    if cfg.MODEL.USE_MULTI_HEAD:
+        # select the tested dataset's head (reference test_net.py:109-114;
+        # MODEL_DIFF_DATA tests on TRAIN.DATASET's head)
+        inf_dataset = (cfg.TRAIN.DATASET if cfg.DATA.MODEL_DIFF_DATA
+                       else cfg.TEST.DATASET)
+
+        def _mh_eval(params, batch, model_state=None):
+            variables = {"params": params, **(model_state or {})}
+            out = module.apply(variables, batch["inputs"], None,
+                               inf_dataset, train=False)
+            return out[inf_dataset]
+
+        jitted_eval = jax.jit(_mh_eval)
+    else:
+        jitted_eval = jax.jit(make_eval_step(module))
     b_sh = batch_sharding(mesh)
     state = jax.device_put(state, replicated(mesh))
 

@@ -293,7 +293,9 @@ def _flash_fwd_with_lse(q, k, v, scale, q_tile, k_chunk, kv_valid=None):
 
 def _flash_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref,
                      *, scale, k_chunk):
-    q = q_ref[0].astype(jnp.float32)
+    # both logit scales fold into the small [*, d] operands (q for s, k for
+    # the dq dot) instead of two VPU passes over each [TQ, TK] tile
+    q = q_ref[0].astype(jnp.float32) * scale
     g = g_ref[0].astype(jnp.float32)
     lse = lse_ref[0, 0, 0][:, None]
     delta = delta_ref[0, 0, 0][:, None]
@@ -306,14 +308,14 @@ def _flash_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref,
         v = v_ref[0, pl.ds(j * k_chunk, k_chunk), :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
             g, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
+        ds = p * (dp - delta)
         return dq + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
+            ds, k * scale, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     dq = jax.lax.fori_loop(0, num_k, body, jnp.zeros((TQ, d), jnp.float32))
@@ -328,7 +330,9 @@ def _flash_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     i = pl.program_id(2)
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
-    q = q_ref[0].astype(jnp.float32)
+    # q*scale serves both the logits (s = q_s k^T) and the dk dot
+    # (dk = ds^T (scale*q)) — no [q_chunk, TK]-sized scale passes
+    q = q_ref[0].astype(jnp.float32) * scale
     g = g_ref[0].astype(jnp.float32)
     lse = lse_ref[0, 0, 0][:, None]
     delta = delta_ref[0, 0, 0][:, None]
@@ -340,7 +344,7 @@ def _flash_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        preferred_element_type=jnp.float32)
     p = jnp.exp(s - lse)  # [q_chunk, TK]
     dv_ref[0] += jax.lax.dot_general(
         p, g, (((0,), (0,)), ((), ())),
@@ -348,7 +352,7 @@ def _flash_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     dp = jax.lax.dot_general(
         g, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    ds = p * (dp - delta) * scale
+    ds = p * (dp - delta)
     dk_ref[0] += jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)

@@ -140,6 +140,15 @@ def test_multidataset_epoch_driver(workdir):
     # 8 + 2*8 = 24 samples / batch 8 = 3 iters/epoch x 2 epochs
     assert int(np.asarray(state.step)) == 6
 
+    # multi-head TEST engine: selects the tested dataset's head
+    # (reference test_net.py:109-114)
+    from aicity_action_tpu.engine.test_loop import test
+
+    cfg.TEST.DATASET = "kinetics"
+    cfg.MODEL.NUM_CLASSES = 3  # loader label space of the tested dataset
+    stats = test(cfg)
+    assert "top1_acc" in stats
+
     # the per-dataset meter math itself
     meter = MultiDatasetValMeter(1, cfg)
     preds = {
