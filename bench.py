@@ -88,7 +88,7 @@ def _p50_video(module, params, minutes: float):
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(cache_dir, f"a2_{int(minutes * 60)}s.mp4")
     if not os.path.exists(path):
-        tmp = path + ".part"
+        tmp = path[:-4] + ".part.mp4"  # VideoWriter needs the .mp4 suffix
         w = cv2.VideoWriter(tmp, cv2.VideoWriter_fourcc(*"mp4v"), fps, size)
         assert w.isOpened()
         rs = np.random.RandomState(0)
