@@ -31,6 +31,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 
+# statically unroll k-chunk loops up to this many chunks (fori_loop carries
+# are physically copied each iteration in Mosaic; measured +24% at num_k=4)
+_UNROLL_MAX = 8
+
 # candidate tile sizes, multiples of 8 (f32 sublane); picked by divisibility
 _Q_TILES = (1024, 512, 448, 392, 256, 196, 128, 98, 64, 56, 32, 16, 8)
 _K_TILES = (1568, 1024, 784, 512, 392, 256, 196, 128, 98, 64, 56, 32, 16, 8)
@@ -110,7 +114,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, k_chunk: int,
     m0 = jnp.full((TQ, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((TQ, 1), jnp.float32)
     acc0 = jnp.zeros((TQ, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_k, body, (m0, l0, acc0))
+    if num_k <= _UNROLL_MAX:
+        # static unroll: Mosaic copies fori_loop carries every iteration
+        # (measured +24% from unrolling at num_k=4)
+        carry = (m0, l0, acc0)
+        for j in range(num_k):
+            carry = body(j, carry)
+        m, l, acc = carry
+    else:
+        m, l, acc = jax.lax.fori_loop(0, num_k, body, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
@@ -181,13 +193,12 @@ def flash_attention_supported(Lq: int, Lk: int, d: int) -> bool:
 
 
 def _tiles_for(Lq, Lk, budget=6_500_000):
-    """Joint (q_tile, k_chunk) pick: fewer, larger K chunks amortize the
-    per-chunk VPU softmax passes; the f32 logits tile q_tile*k_chunk*4
-    stays under ``budget`` bytes of the 16 MB scoped VMEM (tighter for the
-    lse-saving forward, which carries extra blocks)."""
-    k_chunk = _pick_tile(Lk, _K_TILES_BIG, Lk)
-    if k_chunk is None:
-        k_chunk = _pick_tile(Lk, _K_TILES, Lk)
+    """Joint (q_tile, k_chunk) pick. With the k-chunk loop statically
+    unrolled, several 1568-wide chunks beat one huge chunk (measured
+    6.34 vs 6.61 ms on the Lk=6272 block); the f32 logits tile
+    q_tile*k_chunk*4 stays under ``budget`` bytes of the 16 MB scoped VMEM
+    (tighter for the lse-saving forward, which carries extra blocks)."""
+    k_chunk = _pick_tile(Lk, _K_TILES, Lk)
     q_cap = max(8, (budget // (4 * k_chunk)) // 8 * 8)
     q_tile = _pick_tile(Lq, _Q_TILES, q_cap)
     assert q_tile is not None and k_chunk is not None, (Lq, Lk)
@@ -253,7 +264,13 @@ def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     m0 = jnp.full((TQ, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((TQ, 1), jnp.float32)
     acc0 = jnp.zeros((TQ, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_k, body, (m0, l0, acc0))
+    if num_k <= _UNROLL_MAX:
+        carry = (m0, l0, acc0)
+        for j in range(num_k):
+            carry = body(j, carry)
+        m, l, acc = carry
+    else:
+        m, l, acc = jax.lax.fori_loop(0, num_k, body, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
     lse_ref[0, 0, 0] = (m + jnp.log(l))[:, 0]
 
@@ -318,7 +335,12 @@ def _flash_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref,
             ds, k * scale, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    dq = jax.lax.fori_loop(0, num_k, body, jnp.zeros((TQ, d), jnp.float32))
+    dq = jnp.zeros((TQ, d), jnp.float32)
+    if num_k <= _UNROLL_MAX:
+        for j in range(num_k):
+            dq = body(j, dq)
+    else:
+        dq = jax.lax.fori_loop(0, num_k, body, dq)
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
