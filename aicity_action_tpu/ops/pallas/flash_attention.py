@@ -38,8 +38,6 @@ _UNROLL_MAX = 8
 # candidate tile sizes, multiples of 8 (f32 sublane); picked by divisibility
 _Q_TILES = (1024, 512, 448, 392, 256, 196, 128, 98, 64, 56, 32, 16, 8)
 _K_TILES = (1568, 1024, 784, 512, 392, 256, 196, 128, 98, 64, 56, 32, 16, 8)
-_K_TILES_BIG = (3136, 1568, 1024, 784, 512, 392, 256, 196, 128, 98, 64, 56,
-                32, 16, 8)
 
 
 def _pick_tile(length: int, candidates, cap: int) -> int | None:
@@ -192,7 +190,9 @@ def flash_attention_supported(Lq: int, Lk: int, d: int) -> bool:
     return qt is not None and kt is not None
 
 
-def _tiles_for(Lq, Lk, budget=6_500_000):
+def _tiles_for(Lq, Lk, budget=4_000_000):
+    # NOTE: unrolled chunk loops keep more temporaries live on the 16 MB
+    # scoped VMEM stack — a 6.5 MB logits-tile budget OOMed at q_tile=1024.
     """Joint (q_tile, k_chunk) pick. With the k-chunk loop statically
     unrolled, several 1568-wide chunks beat one huge chunk (measured
     6.34 vs 6.61 ms on the Lk=6272 block); the f32 logits tile
