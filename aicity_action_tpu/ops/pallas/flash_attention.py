@@ -191,13 +191,13 @@ def flash_attention_supported(Lq: int, Lk: int, d: int) -> bool:
 
 
 def _tiles_for(Lq, Lk, budget=4_000_000):
-    # NOTE: unrolled chunk loops keep more temporaries live on the 16 MB
-    # scoped VMEM stack — a 6.5 MB logits-tile budget OOMed at q_tile=1024.
     """Joint (q_tile, k_chunk) pick. With the k-chunk loop statically
     unrolled, several 1568-wide chunks beat one huge chunk (measured
     6.34 vs 6.61 ms on the Lk=6272 block); the f32 logits tile
     q_tile*k_chunk*4 stays under ``budget`` bytes of the 16 MB scoped VMEM
-    (tighter for the lse-saving forward, which carries extra blocks)."""
+    (tighter for the lse-saving forward, which carries extra blocks).
+    NOTE: unrolled chunk loops keep more temporaries live on the scoped
+    VMEM stack — a 6.5 MB budget OOMed at q_tile=1024."""
     k_chunk = _pick_tile(Lk, _K_TILES, Lk)
     q_cap = max(8, (budget // (4 * k_chunk)) // 8 * 8)
     q_tile = _pick_tile(Lq, _Q_TILES, q_cap)
