@@ -57,9 +57,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, k_chunk: int,
     ``kv_valid``: number of REAL keys when K/V are zero-padded to a tile
     multiple (cls-token layouts); padded columns are masked to -inf before
     the max so they contribute nothing to the softmax."""
-    # fold the scale into q (one [TQ, d] pass) instead of scaling the much
-    # larger [TQ, Lk] logits per chunk
-    q = q_ref[0].astype(jnp.float32) * scale  # [TQ, d]
+    # fold the scale into q (one [TQ, d] pass); operands stay in the input
+    # dtype (bf16 in production) feeding the MXU with f32 accumulation —
+    # materialized f32 copies of K/V chunks blew the scoped-VMEM stack once
+    # the chunk loop was unrolled
+    dt = q_ref.dtype
+    q = q_ref[0] * jnp.asarray(scale, dt)  # [TQ, d]
     Lk = k_ref.shape[1]
     num_k = Lk // k_chunk
     TQ = q.shape[0]
@@ -67,10 +70,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, k_chunk: int,
 
     if num_k == 1:
         # single K/V chunk: plain softmax, no running-max rescale carries
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            q, k_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         if kv_valid is not None and kv_valid < Lk:
@@ -80,7 +81,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, k_chunk: int,
         p = jnp.exp(s - m)
         l = p.sum(axis=-1, keepdims=True)
         acc = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(dt), v_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         o_ref[0] = (acc / l).astype(o_ref.dtype)
@@ -88,8 +89,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, k_chunk: int,
 
     def body(j, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(j * k_chunk, k_chunk), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * k_chunk, k_chunk), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(j * k_chunk, k_chunk), :]
+        v = v_ref[0, pl.ds(j * k_chunk, k_chunk), :]
         # [TQ, TK]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -104,7 +105,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, k_chunk: int,
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + p.sum(axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(dt), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc_new
@@ -236,18 +237,22 @@ def _flash_fwd(q, k, v, scale):
 
 def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
                           scale, k_chunk, kv_valid=None):
-    q = q_ref[0].astype(jnp.float32)
+    # same operand discipline as _flash_kernel: input-dtype (bf16) operands
+    # into the MXU, f32 accumulation, scale folded into q — the bwd kernels
+    # fold identically so their recomputed logits match this lse
+    dt = q_ref.dtype
+    q = q_ref[0] * jnp.asarray(scale, dt)
     Lk = k_ref.shape[1]
     num_k = Lk // k_chunk
     TQ, d = q.shape
 
     def body(j, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(j * k_chunk, k_chunk), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * k_chunk, k_chunk), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(j * k_chunk, k_chunk), :]
+        v = v_ref[0, pl.ds(j * k_chunk, k_chunk), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32)
         if kv_valid is not None and kv_valid < Lk:
             cols = (j * k_chunk
                     + jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1))
@@ -257,7 +262,7 @@ def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + p.sum(axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(dt), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return m_new, l_new, acc_new
 
@@ -311,9 +316,12 @@ def _flash_fwd_with_lse(q, k, v, scale, q_tile, k_chunk, kv_valid=None):
 def _flash_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref,
                      *, scale, k_chunk):
     # both logit scales fold into the small [*, d] operands (q for s, k for
-    # the dq dot) instead of two VPU passes over each [TQ, TK] tile
-    q = q_ref[0].astype(jnp.float32) * scale
-    g = g_ref[0].astype(jnp.float32)
+    # the dq dot); operands stay in the input dtype for the MXU with f32
+    # accumulation (materialized f32 K/V copies OOM the scoped VMEM stack
+    # under unrolling)
+    dt = q_ref.dtype
+    q = q_ref[0] * jnp.asarray(scale, dt)
+    g = g_ref[0]
     lse = lse_ref[0, 0, 0][:, None]
     delta = delta_ref[0, 0, 0][:, None]
     Lk = k_ref.shape[1]
@@ -321,8 +329,8 @@ def _flash_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref,
     TQ, d = q.shape
 
     def body(j, dq):
-        k = k_ref[0, pl.ds(j * k_chunk, k_chunk), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * k_chunk, k_chunk), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(j * k_chunk, k_chunk), :]
+        v = v_ref[0, pl.ds(j * k_chunk, k_chunk), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -330,9 +338,9 @@ def _flash_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref,
         dp = jax.lax.dot_general(
             g, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(dt)
         return dq + jax.lax.dot_general(
-            ds, k * scale, (((1,), (0,)), ((), ())),
+            ds, k * jnp.asarray(scale, dt), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     dq = jnp.zeros((TQ, d), jnp.float32)
@@ -350,12 +358,13 @@ def _flash_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     innermost dim while the dk/dv output block (constant over it) stays
     resident in VMEM and accumulates in f32."""
     i = pl.program_id(2)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    dt = q_ref.dtype
+    k = k_ref[0]
+    v = v_ref[0]
     # q*scale serves both the logits (s = q_s k^T) and the dk dot
-    # (dk = ds^T (scale*q)) — no [q_chunk, TK]-sized scale passes
-    q = q_ref[0].astype(jnp.float32) * scale
-    g = g_ref[0].astype(jnp.float32)
+    # (dk = ds^T (scale*q)); operands stay input-dtype for the MXU
+    q = q_ref[0] * jnp.asarray(scale, dt)
+    g = g_ref[0]
     lse = lse_ref[0, 0, 0][:, None]
     delta = delta_ref[0, 0, 0][:, None]
 
@@ -369,12 +378,12 @@ def _flash_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         preferred_element_type=jnp.float32)
     p = jnp.exp(s - lse)  # [q_chunk, TK]
     dv_ref[0] += jax.lax.dot_general(
-        p, g, (((0,), (0,)), ((), ())),
+        p.astype(dt), g, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(
         g, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    ds = p * (dp - delta)
+    ds = (p * (dp - delta)).astype(dt)
     dk_ref[0] += jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
