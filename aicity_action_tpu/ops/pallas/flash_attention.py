@@ -191,7 +191,7 @@ def flash_attention_supported(Lq: int, Lk: int, d: int) -> bool:
     return qt is not None and kt is not None
 
 
-def _tiles_for(Lq, Lk, budget=4_000_000):
+def _tiles_for(Lq, Lk, budget=3_000_000):
     """Joint (q_tile, k_chunk) pick. With the k-chunk loop statically
     unrolled, several 1568-wide chunks beat one huge chunk (measured
     6.34 vs 6.61 ms on the Lk=6272 block); the f32 logits tile
@@ -223,7 +223,7 @@ def flash_attention(q, k, v, scale: float):
 
 def _flash_fwd(q, k, v, scale):
     """Forward rule under AD: also saves the per-row logsumexp."""
-    q_tile, k_chunk = _tiles_for(q.shape[1], k.shape[1], budget=4_000_000)
+    q_tile, k_chunk = _tiles_for(q.shape[1], k.shape[1], budget=2_500_000)
     out, lse = _flash_fwd_with_lse(q, k, v, scale, q_tile, k_chunk)
     return out, (q, k, v, out, lse)
 
@@ -515,7 +515,7 @@ def _flash_padded_fwd(q, k, v, scale):
     Lq, Lk = q.shape[1], k.shape[1]
     pq, pk, pv = _pad_qkv(q, k, v)
     q_tile, k_chunk = _tiles_for(pq.shape[1], pk.shape[1],
-                                 budget=4_000_000)
+                                 budget=2_500_000)
     out, lse = _flash_fwd_with_lse(pq, pk, pv, scale, q_tile, k_chunk,
                                    kv_valid=Lk)
     return out[:, :Lq], (pq, pk, pv, out, lse, Lq, Lk)
