@@ -231,3 +231,37 @@ def test_test_engine_ensembles_views(workdir):
     cfg.OUTPUT_DIR = str(workdir / "out_fresh")
     stats = test(cfg)
     assert "top1_acc" in stats
+
+
+def test_finetune_from_torch_checkpoint(workdir):
+    """The released-checkpoint workflow: train() fine-tunes from a reference
+    .pyth via TRAIN.CHECKPOINT_FILE_PATH + CHECKPOINT_TYPE=pytorch
+    (reference checkpoint.py:504-532 priority). With lr=0 the loaded
+    weights must survive the epoch unchanged, proving the conversion fed
+    the real training state."""
+    import torch
+
+    from aicity_action_tpu.engine.train_loop import train
+    from aicity_action_tpu.models.mvit import build_mvit_spec
+    from test_model_parity import TorchOracleMViT
+
+    cfg = _tiny_cfg(workdir)
+    cfg.OUTPUT_DIR = str(workdir / "out_finetune")
+    cfg.SOLVER.MAX_EPOCH = 1
+    cfg.SOLVER.BASE_LR = 1e-30  # negligible update; cosine asserts end < base
+    cfg.SOLVER.COSINE_END_LR = 0.0
+    cfg.MIXUP.ENABLE = False
+
+    torch.manual_seed(3)
+    oracle = TorchOracleMViT(cfg, build_mvit_spec(cfg))
+    pyth = str(workdir / "pretrained.pyth")
+    torch.save({"model_state": oracle.reference_state_dict(), "epoch": 0},
+               pyth)
+    cfg.TRAIN.CHECKPOINT_FILE_PATH = pyth
+    cfg.TRAIN.CHECKPOINT_TYPE = "pytorch"
+    cfg.TRAIN.CHECKPOINT_EPOCH_RESET = True
+
+    state = train(cfg)
+    got = np.asarray(state.params["head"]["projection"]["bias"])
+    want = oracle.reference_state_dict()["head.projection.bias"].numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
