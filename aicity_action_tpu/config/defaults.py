@@ -295,6 +295,11 @@ def get_cfg() -> CfgNode:
     _C.TPU.PARAM_DTYPE = "float32"
     _C.TPU.PREFETCH_DEPTH = 2  # device prefetch depth of the input pipeline
     _C.TPU.DONATE_STATE = True  # donate train state buffers under jit
+    # write a jax.profiler trace of train steps [PROFILE_START_STEP,
+    # PROFILE_START_STEP + PROFILE_NUM_STEPS) to this directory ("" = off)
+    _C.TPU.PROFILE_DIR = ""
+    _C.TPU.PROFILE_START_STEP = 3  # skip compile + warmup steps
+    _C.TPU.PROFILE_NUM_STEPS = 2
 
     # --------------------------------------------------------- BENCHMARK
     _C.BENCHMARK = CfgNode()

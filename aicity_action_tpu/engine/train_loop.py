@@ -194,8 +194,24 @@ def train(cfg):
                     prefetched):
                 train_meter.data_toc()
 
+                profiling = (cfg.TPU.PROFILE_DIR
+                             and jax.process_index() == 0)
+                # only pull the step scalar when profiling: it costs a
+                # device roundtrip per iteration
+                global_step = (int(np.asarray(state.step))
+                               if profiling else -1)
+                if (profiling
+                        and global_step == cfg.TPU.PROFILE_START_STEP):
+                    # device trace of a few steady-state steps (the
+                    # reference has only wall-clock meters; on TPU the
+                    # profiler is free — SURVEY §5.1)
+                    jax.profiler.start_trace(cfg.TPU.PROFILE_DIR)
                 state, metrics, preds = jitted_train(state, dev_batch, rng)
                 loss = float(np.asarray(metrics["loss"]))
+                if (profiling
+                        and global_step == cfg.TPU.PROFILE_START_STEP
+                        + cfg.TPU.PROFILE_NUM_STEPS):
+                    jax.profiler.stop_trace()
                 if not math.isfinite(loss):
                     raise RuntimeError(
                         f"ERROR: Got NaN/Inf loss at epoch {cur_epoch} "
