@@ -389,16 +389,36 @@ def _flash_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         preferred_element_type=jnp.float32)
 
 
+# independent VMEM budgets for the backward kernels' f32 logits tiles —
+# the fwd's lse arrives tiled by the FORWARD's q tile, but flattening
+# [G, nq, 1, TQ] -> [G, Lq] is a layout-preserving (free) reshape, so the
+# backward re-tiles lse/delta to its own choice
+_BWD_DQ_BUDGET = 2_500_000
+_BWD_DKV_BUDGET = 2_500_000
+
+
+def _bwd_dq_tiles(Lq, Lk):
+    return _tiles_for(Lq, Lk, budget=_BWD_DQ_BUDGET)
+
+
+def _bwd_dkv_tiles(Lq, Lk):
+    k_tile = _pick_tile(Lk, _K_TILES, Lk)
+    q_cap = max(8, (_BWD_DKV_BUDGET // (4 * k_tile)) // 8 * 8)
+    q_chunk = _pick_tile(Lq, _Q_TILES, q_cap)
+    assert k_tile is not None and q_chunk is not None, (Lq, Lk)
+    return k_tile, q_chunk
+
+
 def _flash_bwd(scale, res, g):
     q, k, v, out, lse = res
     G, Lq, d = q.shape
     Lk = k.shape[1]
-    # q tiling MUST match the forward's lse tiling [G, nq, 1, TQ]
-    q_tile = lse.shape[3]
-    k_chunk = _pick_tile(Lk, _K_TILES, Lk)
+    q_tile, k_chunk = _bwd_dq_tiles(Lq, Lk)
     # delta = rowsum(dO * O), precomputed in XLA (cheap elementwise)
-    delta = (g.astype(jnp.float32) * out.astype(jnp.float32)).sum(-1)
-    delta = delta.reshape(G, Lq // q_tile, 1, q_tile)  # match lse tiling
+    delta_flat = (g.astype(jnp.float32) * out.astype(jnp.float32)).sum(-1)
+    lse_flat = lse.reshape(G, Lq)
+    delta = delta_flat.reshape(G, Lq // q_tile, 1, q_tile)
+    lse = lse_flat.reshape(G, Lq // q_tile, 1, q_tile)
 
     dq = pl.pallas_call(
         functools.partial(_flash_dq_kernel, scale=scale, k_chunk=k_chunk),
@@ -424,9 +444,9 @@ def _flash_bwd(scale, res, g):
     )(q, k, v, g, lse, delta)
 
     # dk/dv: tile over k, stream q chunks through the innermost grid dim
-    # (q_chunk must equal the fwd q_tile: lse/delta are tiled by it)
-    k_tile = _pick_tile(Lk, _K_TILES, Lk)
-    q_chunk = q_tile
+    k_tile, q_chunk = _bwd_dkv_tiles(Lq, Lk)
+    lse_kv = lse_flat.reshape(G, Lq // q_chunk, 1, q_chunk)
+    delta_kv = delta_flat.reshape(G, Lq // q_chunk, 1, q_chunk)
     dk, dv = pl.pallas_call(
         functools.partial(_flash_dkv_kernel, scale=scale),
         grid=(G, Lk // k_tile, Lq // q_chunk),
@@ -455,7 +475,7 @@ def _flash_bwd(scale, res, g):
             jax.ShapeDtypeStruct((G, Lk, d), jnp.float32),
         ),
         interpret=INTERPRET,
-    )(q, k, v, g, lse, delta)
+    )(q, k, v, g, lse_kv, delta_kv)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 

@@ -172,8 +172,126 @@ def _ln_qkv_fwd(x2, gamma, beta, w, bias, eps):
     return out, (x2, gamma, beta, w, bias)
 
 
+def _ln_qkv_bwd_kernel(x_ref, gq_ref, gk_ref, gv_ref, gam_ref, bet_ref,
+                       w_ref, dx_ref, dwq_ref, dwk_ref, dwv_ref,
+                       dbq_ref, dbk_ref, dbv_ref,
+                       dgam_ref, dbet_ref, *, eps):
+    """One row tile: recompute LN in VMEM, accumulate dW/db/dLN into
+    constant-indexed f32 blocks across the sequential grid. dW is emitted
+    as three separate [D, C] blocks (q/k/v): reading lane-misaligned
+    ``w[:, j*C:(j+1)*C]`` slices is proven in the forward kernel, but
+    accumulating into them is not — separate refs sidestep it."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dwq_ref[:] = jnp.zeros_like(dwq_ref[:])
+        dwk_ref[:] = jnp.zeros_like(dwk_ref[:])
+        dwv_ref[:] = jnp.zeros_like(dwv_ref[:])
+        dbq_ref[:] = jnp.zeros_like(dbq_ref[:])
+        dbk_ref[:] = jnp.zeros_like(dbk_ref[:])
+        dbv_ref[:] = jnp.zeros_like(dbv_ref[:])
+        dgam_ref[:] = jnp.zeros_like(dgam_ref[:])
+        dbet_ref[:] = jnp.zeros_like(dbet_ref[:])
+
+    dt = x_ref.dtype
+    x = x_ref[:].astype(jnp.float32)
+    gam = gam_ref[0].astype(jnp.float32)
+    bet = bet_ref[0].astype(jnp.float32)
+    C = gq_ref.shape[1]
+
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    xn = (xhat * gam + bet).astype(dt)
+
+    TQ, D = x.shape
+    dxn = jnp.zeros((TQ, D), jnp.float32)
+    for j, (g_ref, dw_ref, db_ref) in enumerate(
+            ((gq_ref, dwq_ref, dbq_ref), (gk_ref, dwk_ref, dbk_ref),
+             (gv_ref, dwv_ref, dbv_ref))):
+        gj = g_ref[:]
+        w_j = w_ref[:, j * C:(j + 1) * C]
+        db_ref[:] += gj.astype(jnp.float32).sum(axis=0, keepdims=True)
+        dw_ref[:] += jax.lax.dot_general(
+            xn, gj, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dxn = dxn + jax.lax.dot_general(
+            gj, w_j, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dgam_ref[:] += (dxn * xhat).sum(axis=0, keepdims=True)
+    dbet_ref[:] += dxn.sum(axis=0, keepdims=True)
+    dxhat = dxn * gam
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ref[:] = (rstd * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+
+def ln_qkv_bwd_supported(m: int, d: int, c3: int) -> bool:
+    if 6 * d * c3 > 11 * 1024 * 1024:
+        return False
+    cap = max(8, (2_500_000 // (max(d, c3) * 4)) // 8 * 8)
+    return _pick_rows(m, min(1024, cap)) is not None
+
+
+def _ln_qkv_bwd_impl(x2, gamma, beta, w, g, eps):
+    M, D = x2.shape
+    C3 = w.shape[1]
+    C = C3 // 3
+    cap = max(8, (2_500_000 // (max(D, C3) * 4)) // 8 * 8)
+    tm = _pick_rows(M, min(1024, cap))
+    assert tm is not None, (M, D, C3)
+    row = pl.BlockSpec((tm, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec((tm, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    vec = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    const = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    dx, dwq, dwk, dwv, dbq, dbk, dbv, dgam, dbet = pl.pallas_call(
+        functools.partial(_ln_qkv_bwd_kernel, eps=eps),
+        grid=(M // tm,),
+        in_specs=[row, gspec, gspec, gspec, vec(D), vec(D), const(D, C3)],
+        out_specs=(row, const(D, C), const(D, C), const(D, C),
+                   vec(C), vec(C), vec(C), vec(D), vec(D)),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, D), x2.dtype),
+            jax.ShapeDtypeStruct((D, C), jnp.float32),
+            jax.ShapeDtypeStruct((D, C), jnp.float32),
+            jax.ShapeDtypeStruct((D, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * M * D * C3,
+            bytes_accessed=2 * M * (2 * D + C3) + D * C3 * 6,
+            transcendentals=M,
+        ),
+        interpret=_fa.INTERPRET,
+    )(x2, g[0], g[1], g[2], gamma.reshape(1, D), beta.reshape(1, D), w)
+    dw = jnp.concatenate([dwq, dwk, dwv], axis=1)
+    db = jnp.concatenate([dbq, dbk, dbv], axis=1)
+    return (dx, dgam.reshape(D).astype(gamma.dtype),
+            dbet.reshape(D).astype(beta.dtype), dw.astype(w.dtype),
+            db.reshape(C3))
+
+
 def _ln_qkv_bwd(eps, res, g):
     x2, gamma, beta, w, bias = res
+    M, D = x2.shape
+    C3 = w.shape[1]
+    if not _fa.is_disabled() and ln_qkv_bwd_supported(M, D, C3):
+        dx, dgam, dbet, dw, db = _ln_qkv_bwd_impl(
+            x2, gamma, beta, w, g, eps)
+        if bias is None:
+            return dx, dgam, dbet, dw, None
+        return dx, dgam, dbet, dw, db.astype(bias.dtype)
     if bias is None:
         _, vjp = jax.vjp(
             lambda x, gm, bt, ww: _ref_ln_qkv(x, gm, bt, ww, None, eps),
@@ -286,8 +404,142 @@ def _ln_mlp_fwd(x2, gamma, beta, w1, b1, w2, b2, eps):
     return out, (x2, gamma, beta, w1, b1, w2, b2)
 
 
+def _gelu_grad_f32(x):
+    # d/dx [0.5 x (1 + erf(x/sqrt(2)))] = 0.5 (1 + erf(x/sqrt(2))) + x phi(x)
+    inv_sqrt2 = 2.0 ** -0.5
+    phi = jnp.exp(-0.5 * x * x) * 0.3989422804014327  # 1/sqrt(2*pi)
+    return 0.5 * (1.0 + _erf_f32(x * inv_sqrt2)) + x * phi
+
+
+def _ln_mlp_bwd_kernel(x_ref, g_ref, gam_ref, bet_ref, w1_ref, b1_ref,
+                       w2_ref, dx_ref, dw1_ref, dw2_ref, db1_ref, db2_ref,
+                       dgam_ref, dbet_ref, *, eps):
+    """One row tile: recompute the forward in VMEM (remat-style — the fwd
+    saves only x2/params), then accumulate dW/db/dLN into constant-indexed
+    f32 output blocks across the sequential grid."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref[:])
+        dw2_ref[:] = jnp.zeros_like(dw2_ref[:])
+        db1_ref[:] = jnp.zeros_like(db1_ref[:])
+        db2_ref[:] = jnp.zeros_like(db2_ref[:])
+        dgam_ref[:] = jnp.zeros_like(dgam_ref[:])
+        dbet_ref[:] = jnp.zeros_like(dbet_ref[:])
+
+    dt = x_ref.dtype
+    x = x_ref[:].astype(jnp.float32)
+    gam = gam_ref[0].astype(jnp.float32)
+    bet = bet_ref[0].astype(jnp.float32)
+    D = x.shape[1]
+
+    # --- recompute forward (same cast discipline as _ln_mlp_kernel)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    xn = (xhat * gam + bet).astype(dt)
+    h_pre = jax.lax.dot_general(
+        xn, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0].astype(jnp.float32)
+    h = _gelu_f32(h_pre).astype(dt)
+
+    # --- backward
+    g_out = g_ref[:]
+    gf = g_out.astype(jnp.float32)
+    db2_ref[:] += gf.sum(axis=0, keepdims=True)
+    dw2_ref[:] += jax.lax.dot_general(
+        h, g_out, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh = jax.lax.dot_general(
+        g_out, w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh_pre = dh * _gelu_grad_f32(h_pre)
+    db1_ref[:] += dh_pre.sum(axis=0, keepdims=True)
+    dhp = dh_pre.astype(dt)
+    dw1_ref[:] += jax.lax.dot_general(
+        xn, dhp, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dxn = jax.lax.dot_general(
+        dhp, w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dgam_ref[:] += (dxn * xhat).sum(axis=0, keepdims=True)
+    dbet_ref[:] += dxn.sum(axis=0, keepdims=True)
+    dxhat = dxn * gam
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ref[:] = (rstd * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+
+def ln_mlp_bwd_supported(m: int, d: int, h: int, c_out: int) -> bool:
+    # weights bf16 + dw f32 accumulators must both sit in VMEM
+    if 6 * (d * h + h * c_out) > 11 * 1024 * 1024:
+        return False
+    cap = max(8, (2_500_000 // (h * 8)) // 8 * 8)
+    return _pick_rows(m, min(1024, cap)) is not None
+
+
+def _ln_mlp_bwd_impl(x2, gamma, beta, w1, b1, w2, g, eps):
+    M, D = x2.shape
+    H = w1.shape[1]
+    C = w2.shape[1]
+    # two f32 [tm, H] hidden tiles (h_pre, dh) cap the row tile
+    cap = max(8, (2_500_000 // (H * 8)) // 8 * 8)
+    tm = _pick_rows(M, min(1024, cap))
+    assert tm is not None, (M, H)
+    row = pl.BlockSpec((tm, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vec = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    const = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    dx, dw1, dw2, db1, db2, dgam, dbet = pl.pallas_call(
+        functools.partial(_ln_mlp_bwd_kernel, eps=eps),
+        grid=(M // tm,),
+        in_specs=[
+            row,
+            pl.BlockSpec((tm, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            vec(D), vec(D), const(D, H), vec(H), const(H, C),
+        ],
+        out_specs=(row, const(D, H), const(H, C), vec(H), vec(C),
+                   vec(D), vec(D)),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, D), x2.dtype),
+            jax.ShapeDtypeStruct((D, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * M * (D * H + H * C),
+            bytes_accessed=2 * M * (2 * D + C) + (D * H + H * C) * 6,
+            transcendentals=2 * M * H,
+        ),
+        interpret=_fa.INTERPRET,
+    )(x2, g, gamma.reshape(1, D), beta.reshape(1, D), w1,
+      b1.reshape(1, H), w2)
+    wdt = w1.dtype
+    return (dx, dgam.reshape(D).astype(gamma.dtype),
+            dbet.reshape(D).astype(beta.dtype), dw1.astype(wdt),
+            db1.reshape(H).astype(b1.dtype), dw2.astype(w2.dtype),
+            db2.reshape(C).astype(w2.dtype))
+
+
 def _ln_mlp_bwd(eps, res, g):
     x2, gamma, beta, w1, b1, w2, b2 = res
+    M, D = x2.shape
+    H = w1.shape[1]
+    C = w2.shape[1]
+    if not (_fa.is_disabled() or not ln_mlp_bwd_supported(M, D, H, C)):
+        db2_dt = b2.dtype
+        out = _ln_mlp_bwd_impl(x2, gamma, beta, w1, b1, w2, g, eps)
+        dx, dgam, dbet, dw1, db1, dw2, db2 = out
+        return dx, dgam, dbet, dw1, db1, dw2, db2.astype(db2_dt)
     _, vjp = jax.vjp(
         lambda *a: _ref_ln_mlp(*a, eps), x2, gamma, beta, w1, b1, w2, b2)
     return vjp(g)

@@ -163,6 +163,42 @@ class TestFusedDense:
             np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                        rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize("has_bias", [True, False])
+    def test_ln_qkv_grad(self, has_bias):
+        from aicity_action_tpu.ops.pallas import flash_attention as fa
+        from aicity_action_tpu.ops.pallas.fused_dense import (
+            _ref_ln_qkv, fused_ln_qkv)
+
+        rng = np.random.RandomState(2)
+        M, D, C = 64, 32, 48
+        x = jnp.asarray(rng.randn(M, D).astype(np.float32)) * 0.5
+        gm = jnp.asarray(rng.randn(D).astype(np.float32))
+        bt = jnp.asarray(rng.randn(D).astype(np.float32))
+        w = jnp.asarray(rng.randn(D, 3 * C).astype(np.float32)) * 0.2
+        b = (jnp.asarray(rng.randn(3 * C).astype(np.float32))
+             if has_bias else None)
+
+        def loss(fn):
+            def inner(x, gm, bt, w, *rest):
+                q, k, v = fn(x, gm, bt, w, rest[0] if rest else None, 1e-6)
+                return (q * 1.0).sum() + (k * 0.5).sum() + (v * 2.0).sum()
+            return inner
+
+        args = (x, gm, bt, w) + ((b,) if has_bias else ())
+        nargs = len(args)
+        old = fa.INTERPRET
+        fa.INTERPRET = True
+        try:
+            got = jax.grad(loss(fused_ln_qkv),
+                           argnums=tuple(range(nargs)))(*args)
+        finally:
+            fa.INTERPRET = old
+        want = jax.grad(loss(_ref_ln_qkv),
+                        argnums=tuple(range(nargs)))(*args)
+        for a, e in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                       rtol=1e-4, atol=1e-4)
+
     def test_ln_mlp_and_grad(self):
         from aicity_action_tpu.ops.pallas import flash_attention as fa
         from aicity_action_tpu.ops.pallas.fused_dense import (
