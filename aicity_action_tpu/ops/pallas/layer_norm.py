@@ -34,11 +34,19 @@ _ROW_TILES = (1024, 896, 784, 512, 448, 392, 256, 224, 128, 112,
               64, 56, 32, 16, 8)
 
 
-def _pick_rows(m: int) -> int | None:
+def _pick_rows(m: int, cap: int | None = None) -> int | None:
     for t in _ROW_TILES:
-        if m % t == 0:
+        if m % t == 0 and (cap is None or t <= cap):
             return t
     return None
+
+
+def _bwd_rows(m: int, c: int) -> int | None:
+    # the bwd kernel keeps ~24 bytes/element on the scoped VMEM stack
+    # (double-buffered x/dy/dx blocks + two f32 copies); at C=768, tm=896
+    # that measured 16.06 MB against the 16 MB limit — cap the row tile so
+    # the stack stays near 12 MB
+    return _pick_rows(m, max(8, 12_000_000 // (24 * c)))
 
 
 def layer_norm_supported(x_shape, groups: int) -> bool:
@@ -188,7 +196,7 @@ def _fused_ln_bwd(eps, groups, res, dy):
     C = shape[-1]
     x2 = x.reshape(-1, C)
     dy2 = dy.reshape(-1, C)
-    tm = _pick_rows(x2.shape[0])
+    tm = _bwd_rows(x2.shape[0], C)
     dx, dgam, dbet = _ln_bwd_impl(x2, gamma, dy2, eps, groups, tm)
     return (
         dx.reshape(shape),
