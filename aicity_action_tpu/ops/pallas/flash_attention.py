@@ -393,8 +393,8 @@ def _flash_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 # the fwd's lse arrives tiled by the FORWARD's q tile, but flattening
 # [G, nq, 1, TQ] -> [G, Lq] is a layout-preserving (free) reshape, so the
 # backward re-tiles lse/delta to its own choice
-_BWD_DQ_BUDGET = 2_500_000
-_BWD_DKV_BUDGET = 2_500_000
+_BWD_DQ_BUDGET = 3_300_000
+_BWD_DKV_BUDGET = 3_300_000
 
 
 def _bwd_dq_tiles(Lq, Lk):
