@@ -155,6 +155,50 @@ class WindowDataset:
         return inputs, t0, t1  # loader collates (inputs, label, index, meta)
 
 
+    def stream_frames(self):
+        """Sequential decode → ROI-crop+resize, one uint8 ``[s, s, 3]``
+        frame at a time (each source frame decoded and resized exactly
+        once). Feeds the on-device window gather: the host never assembles
+        windows, so the ~4x frame overlap of stride<length windows costs
+        neither host stacking nor host→device re-transfer."""
+        from .. import native
+
+        cap = cv2.VideoCapture(self.video_path)
+        s = self.frame_size
+        batch = []
+        try:
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                if self._roi_px is None:
+                    h, w = rgb.shape[:2]
+                    x1, y1, x2, y2 = self.roi
+                    self._roi_px = (int(w * x1), int(h * y1),
+                                    int(w * x2), int(h * y2))
+                batch.append(rgb)
+                if len(batch) == 16:  # amortize the SIMD resize call
+                    yield from self._resize_u8(np.stack(batch), s)
+                    batch = []
+        finally:
+            cap.release()
+        if batch:
+            yield from self._resize_u8(np.stack(batch), s)
+
+    def _resize_u8(self, frames, s):
+        from .. import native
+
+        u8 = native.crop_resize_u8(frames, self._roi_px, s)
+        if u8 is None:
+            x1, y1, x2, y2 = self._roi_px
+            cropped = frames[:, y1:y2, x1:x2]
+            u8 = np.empty((frames.shape[0], s, s, 3), np.uint8)
+            for i in range(frames.shape[0]):
+                u8[i] = cv2.resize(cropped[i], (s, s),
+                                   interpolation=cv2.INTER_LINEAR)
+        yield from u8
+
     def stream_windows(self, raw_u8: bool = False):
         """Single-pass streaming iterator: decode every frame ONCE and emit
         preprocessed windows from a rolling buffer.
@@ -260,7 +304,7 @@ class WindowScorer:
     """Batched, sharded scoring of sliding windows on the mesh."""
 
     def __init__(self, module, params, mesh, batch_size: int = 8,
-                 num_workers: int = 8):
+                 num_workers: int = 8, chunk_frames: int = 512):
         import jax
 
         from ..parallel.mesh import batch_sharding, replicated
@@ -270,8 +314,10 @@ class WindowScorer:
         n_data = int(mesh.shape[mesh.axis_names[0]])
         self.batch_size = -(-batch_size // n_data) * n_data
         self.num_workers = num_workers
+        self.chunk_frames = chunk_frames
         self._b_sh = batch_sharding(mesh)
-        self._params = jax.device_put(params, replicated(mesh))
+        self._repl = replicated(mesh)
+        self._params = jax.device_put(params, self._repl)
         self._module = module
         self._fn = jax.jit(
             lambda p, xs: module.apply({"params": p}, xs, train=False)
@@ -288,8 +334,91 @@ class WindowScorer:
         loader (useful with decord, which does true indexed reads).
         """
         if streaming and dataset.backend == "cv2":
+            if dataset.arch_pathways == 1:
+                return self._score_device_gather(dataset)
             return self._score_streaming(dataset)
         return self._score_loader(dataset)
+
+    def _score_device_gather(self, dataset: WindowDataset) -> list:
+        """Ship each decoded frame to the device ONCE; gather the
+        stride<length overlapping windows on-device.
+
+        The host path decodes+resizes per frame (``stream_frames``) and
+        uploads fixed-size uint8 frame chunks; a jitted step indexes the
+        resident ``[TAIL+F, s, s, 3]`` frame buffer with per-window frame
+        indices, normalizes on-device, and runs the model. vs the
+        host-window path this removes the per-window frame stacking and
+        cuts host→device bytes by the window overlap factor
+        (~length/stride = 4x for the AI City 64/16 windows).
+        """
+        jax = self._jax
+        import jax.numpy as jnp
+
+        s = dataset.frame_size
+        T = dataset.frame_length
+        plans = [
+            (t0, t1, sample_indices(t0, t1, T, dataset.num_frames))
+            for t0, t1 in dataset.windows
+        ]
+        if not plans:
+            return []
+        span = max(int(p[2][-1]) - int(p[2][0]) for p in plans) + 1
+        F = self.chunk_frames
+        TAIL = span
+        bs = self.batch_size
+        mean = jnp.asarray(dataset.mean, jnp.float32)
+        std = jnp.asarray(dataset.std, jnp.float32)
+        module = self._module
+
+        def score_fn(p, buf, idx):
+            # buf [TAIL+F, s, s, 3] u8 (replicated); idx [bs, T] (sharded)
+            x = buf[idx]
+            x = (x.astype(jnp.float32) / 255.0 - mean) / std
+            return module.apply({"params": p}, [x], train=False)
+
+        fn = jax.jit(score_fn)
+
+        by_chunk: dict[int, list[int]] = {}
+        for w, (_, _, idxs) in enumerate(plans):
+            by_chunk.setdefault(int(idxs[-1]) // F, []).append(w)
+        n_chunks = max(by_chunk) + 1
+
+        gen = dataset.stream_frames()
+        carry: list[np.ndarray] = []
+        last_frame = None
+        pending = []
+        with self.mesh:
+            prev_tail = jax.device_put(
+                np.zeros((TAIL, s, s, 3), np.uint8), self._repl)
+            for c in range(n_chunks):
+                while len(carry) < F:
+                    try:
+                        last_frame = next(gen)
+                    except StopIteration:
+                        assert last_frame is not None, dataset.video_path
+                    carry.append(last_frame)
+                chunk = np.stack(carry[:F])
+                carry = carry[F:]
+                buf = jnp.concatenate(
+                    [prev_tail, jax.device_put(chunk, self._repl)], 0)
+                prev_tail = buf[F:]
+                base = c * F
+                for i in range(0, len(by_chunk.get(c, [])), bs):
+                    grp = by_chunk[c][i:i + bs]
+                    idx = np.zeros((bs, T), np.int32)
+                    for r, w in enumerate(grp):
+                        idx[r] = plans[w][2] - base + TAIL
+                    out = fn(self._params, buf,
+                             jax.device_put(idx, self._b_sh))
+                    pending.append(
+                        (out, [(plans[w][0], plans[w][1]) for w in grp]))
+            preds = []
+            for out, spans in pending:
+                arr = np.asarray(jax.device_get(out), np.float32)
+                for b, (t0, t1) in enumerate(spans):
+                    preds.append((t0, t1, arr[b]))
+        preds.sort(key=lambda x: x[0])
+        return preds
 
     def _score_streaming(self, dataset: WindowDataset) -> list:
         jax = self._jax

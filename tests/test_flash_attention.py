@@ -199,6 +199,23 @@ class TestFusedDense:
             np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                        rtol=1e-4, atol=1e-4)
 
+    def test_bwd_gates_cover_production_shapes(self):
+        """MViT-B @448 bs4 shapes must stay on the Pallas backwards
+        (regression guard: a gate change silently falling back to the
+        XLA vjp costs ~25 ms/step)."""
+        from aicity_action_tpu.ops.pallas.fused_dense import (
+            ln_mlp_bwd_supported, ln_qkv_bwd_supported)
+
+        B = 4
+        stages = [(100352, 96), (25088, 192), (6272, 384), (1568, 768)]
+        for L, D in stages:
+            assert ln_qkv_bwd_supported(B * L, D, 3 * D), (L, D)
+        for L, D in stages[:-1]:  # D=768 MLP legitimately falls back
+            assert ln_mlp_bwd_supported(B * L, D, 4 * D, D), (L, D)
+        # stage-transition qkv (dim doubles)
+        for L, D in stages[:-1]:
+            assert ln_qkv_bwd_supported(B * L, D, 6 * D), (L, D)
+
     def test_ln_mlp_and_grad(self):
         from aicity_action_tpu.ops.pallas import flash_attention as fa
         from aicity_action_tpu.ops.pallas.fused_dense import (

@@ -114,6 +114,18 @@ def test_window_scorer_end_to_end(video, tmp_path):
     assert per_frame.shape[1] == 5
     np.testing.assert_allclose(per_frame.sum(axis=1), 1.0, rtol=1e-3)
 
+    # the three scoring paths (on-device gather / host-window streaming /
+    # seek loader) must produce identical spans and scores: they share the
+    # per-frame decode+resize math, only the assembly point differs
+    preds_host = scorer._score_streaming(ds)
+    preds_loader = scorer._score_loader(ds)
+    assert [p[:2] for p in preds] == [p[:2] for p in preds_host]
+    assert [p[:2] for p in preds] == [p[:2] for p in preds_loader]
+    for a, b in zip(preds, preds_host):
+        np.testing.assert_allclose(a[2], b[2], atol=2e-5)
+    for a, b in zip(preds, preds_loader):
+        np.testing.assert_allclose(a[2], b[2], atol=2e-5)
+
 
 def test_full_postprocess_chain(tmp_path):
     """Synthetic scores with a known action segment → F1 == 1."""
