@@ -155,49 +155,79 @@ class WindowDataset:
         return inputs, t0, t1  # loader collates (inputs, label, index, meta)
 
 
-    def stream_frames(self):
-        """Sequential decode → ROI-crop+resize, one uint8 ``[s, s, 3]``
-        frame at a time (each source frame decoded and resized exactly
-        once). Feeds the on-device window gather: the host never assembles
-        windows, so the ~4x frame overlap of stride<length windows costs
-        neither host stacking nor host→device re-transfer."""
+    def stream_chunks(self, chunk_frames: int):
+        """Sequential decode → ROI-crop+resize into ``[chunk_frames, s, s,
+        3]`` uint8 slabs; each source frame is decoded and resized exactly
+        once. INFINITE generator: after EOF it yields repeat-last-frame
+        padding chunks forever (consumers pull exactly the chunks their
+        window plan needs). Bulk 16-frame copies fill a preallocated slab —
+        per-frame ``np.stack`` assembly measured ~1.3 s per 512-frame chunk
+        on the 1-core host."""
         from .. import native
 
-        cap = cv2.VideoCapture(self.video_path)
         s = self.frame_size
+        F = chunk_frames
+        slab = np.empty((F, s, s, 3), np.uint8)
+        fill = 0
+        cap = cv2.VideoCapture(self.video_path)
         batch = []
+        last = None
+
+        def resized(stack):
+            u8 = native.crop_resize_u8(stack, self._roi_px, s)
+            if u8 is None:
+                x1, y1, x2, y2 = self._roi_px
+                cropped = stack[:, y1:y2, x1:x2]
+                u8 = np.empty((stack.shape[0], s, s, 3), np.uint8)
+                for i in range(stack.shape[0]):
+                    u8[i] = cv2.resize(cropped[i], (s, s),
+                                       interpolation=cv2.INTER_LINEAR)
+            return u8
+
         try:
+            eof = False
             while True:
-                ok, frame = cap.read()
-                if not ok:
-                    break
-                rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-                if self._roi_px is None:
-                    h, w = rgb.shape[:2]
-                    x1, y1, x2, y2 = self.roi
-                    self._roi_px = (int(w * x1), int(h * y1),
-                                    int(w * x2), int(h * y2))
-                batch.append(rgb)
-                if len(batch) == 16:  # amortize the SIMD resize call
-                    yield from self._resize_u8(np.stack(batch), s)
+                while not eof and len(batch) < 16:
+                    ok, frame = cap.read()
+                    if not ok:
+                        eof = True
+                        break
+                    rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                    if self._roi_px is None:
+                        h, w = rgb.shape[:2]
+                        x1, y1, x2, y2 = self.roi
+                        self._roi_px = (int(w * x1), int(h * y1),
+                                        int(w * x2), int(h * y2))
+                    batch.append(rgb)
+                if batch:
+                    u8 = resized(np.stack(batch))
                     batch = []
+                    last = u8[-1]
+                    take = min(len(u8), F - fill)
+                    slab[fill:fill + take] = u8[:take]
+                    fill += take
+                    rest = u8[take:]
+                else:
+                    rest = None
+                if fill == F:
+                    out = slab
+                    slab = np.empty((F, s, s, 3), np.uint8)
+                    fill = 0
+                    if rest is not None and len(rest):
+                        slab[:len(rest)] = rest
+                        fill = len(rest)
+                    yield out
+                elif eof:
+                    break
+            if fill and last is not None:
+                slab[fill:] = last
+                yield slab
+            while True:  # chunks past EOF: repeat-last padding
+                pad = np.empty((F, s, s, 3), np.uint8)
+                pad[:] = last if last is not None else 0
+                yield pad
         finally:
             cap.release()
-        if batch:
-            yield from self._resize_u8(np.stack(batch), s)
-
-    def _resize_u8(self, frames, s):
-        from .. import native
-
-        u8 = native.crop_resize_u8(frames, self._roi_px, s)
-        if u8 is None:
-            x1, y1, x2, y2 = self._roi_px
-            cropped = frames[:, y1:y2, x1:x2]
-            u8 = np.empty((frames.shape[0], s, s, 3), np.uint8)
-            for i in range(frames.shape[0]):
-                u8[i] = cv2.resize(cropped[i], (s, s),
-                                   interpolation=cv2.INTER_LINEAR)
-        yield from u8
 
     def stream_windows(self, raw_u8: bool = False):
         """Single-pass streaming iterator: decode every frame ONCE and emit
@@ -315,6 +345,10 @@ class WindowScorer:
         self.batch_size = -(-batch_size // n_data) * n_data
         self.num_workers = num_workers
         self.chunk_frames = chunk_frames
+        # windows scored per device dispatch in the gather path: covers a
+        # full chunk at the standard 16-frame proposal stride (+ slack for
+        # fps renormalization); fixed so warm-up compiles the real shape
+        self.windows_per_call = chunk_frames // 16 + 4
         self._b_sh = batch_sharding(mesh)
         self._repl = replicated(mesh)
         self._params = jax.device_put(params, self._repl)
@@ -343,8 +377,8 @@ class WindowScorer:
         """Ship each decoded frame to the device ONCE; gather the
         stride<length overlapping windows on-device.
 
-        The host path decodes+resizes per frame (``stream_frames``) and
-        uploads fixed-size uint8 frame chunks; a jitted step indexes the
+        The host path decodes+resizes each frame once (``stream_chunks``)
+        and uploads fixed-size uint8 frame chunks; a jitted step indexes the
         resident ``[TAIL+F, s, s, 3]`` frame buffer with per-window frame
         indices, normalizes on-device, and runs the model. vs the
         host-window path this removes the per-window frame stacking and
@@ -365,58 +399,61 @@ class WindowScorer:
         span = max(int(p[2][-1]) - int(p[2][0]) for p in plans) + 1
         F = self.chunk_frames
         TAIL = span
-        bs = self.batch_size
         mean = jnp.asarray(dataset.mean, jnp.float32)
         std = jnp.asarray(dataset.std, jnp.float32)
         module = self._module
 
+        by_chunk: dict[int, list[int]] = {}
+        for w, (_, _, idxs) in enumerate(plans):
+            by_chunk.setdefault(int(idxs[-1]) // F, []).append(w)
+        n_chunks = max(by_chunk) + 1
+        # ONE dispatch per chunk: every RPC to a remote/tunneled device (and
+        # every kernel-launch batch locally) carries latency, so all of a
+        # chunk's windows (~F/proposal_stride) score in one padded call.
+        # nw is a FIXED attribute-derived shape (not per-video) so warm-up
+        # runs compile the same executable; overfull chunks split.
+        n_data = int(self.mesh.shape[self.mesh.axis_names[0]])
+        nw = -(-self.windows_per_call // n_data) * n_data
+
         def score_fn(p, buf, idx):
-            # buf [TAIL+F, s, s, 3] u8 (replicated); idx [bs, T] (sharded)
+            # buf [TAIL+F, s, s, 3] u8 (replicated); idx [nw, T] (sharded)
             x = buf[idx]
             x = (x.astype(jnp.float32) / 255.0 - mean) / std
             return module.apply({"params": p}, [x], train=False)
 
         fn = jax.jit(score_fn)
 
-        by_chunk: dict[int, list[int]] = {}
-        for w, (_, _, idxs) in enumerate(plans):
-            by_chunk.setdefault(int(idxs[-1]) // F, []).append(w)
-        n_chunks = max(by_chunk) + 1
-
-        gen = dataset.stream_frames()
-        carry: list[np.ndarray] = []
-        last_frame = None
+        gen = dataset.stream_chunks(F)  # infinite: pads past EOF
         pending = []
         with self.mesh:
             prev_tail = jax.device_put(
                 np.zeros((TAIL, s, s, 3), np.uint8), self._repl)
             for c in range(n_chunks):
-                while len(carry) < F:
-                    try:
-                        last_frame = next(gen)
-                    except StopIteration:
-                        assert last_frame is not None, dataset.video_path
-                    carry.append(last_frame)
-                chunk = np.stack(carry[:F])
-                carry = carry[F:]
+                chunk = next(gen)
                 buf = jnp.concatenate(
                     [prev_tail, jax.device_put(chunk, self._repl)], 0)
                 prev_tail = buf[F:]
                 base = c * F
-                for i in range(0, len(by_chunk.get(c, [])), bs):
-                    grp = by_chunk[c][i:i + bs]
-                    idx = np.zeros((bs, T), np.int32)
+                ws = by_chunk.get(c, [])
+                for i in range(0, max(len(ws), 1), nw):
+                    grp = ws[i:i + nw]
+                    if not grp:
+                        break
+                    idx = np.zeros((nw, T), np.int32)
                     for r, w in enumerate(grp):
                         idx[r] = plans[w][2] - base + TAIL
                     out = fn(self._params, buf,
                              jax.device_put(idx, self._b_sh))
                     pending.append(
                         (out, [(plans[w][0], plans[w][1]) for w in grp]))
-            preds = []
-            for out, spans in pending:
-                arr = np.asarray(jax.device_get(out), np.float32)
-                for b, (t0, t1) in enumerate(spans):
-                    preds.append((t0, t1, arr[b]))
+            # one stacked fetch: per-batch device_get is one round trip EACH
+            arrs = np.asarray(
+                jax.device_get(jnp.stack([o for o, _ in pending])),
+                np.float32)
+        preds = []
+        for arr, (_, spans) in zip(arrs, pending):
+            for b, (t0, t1) in enumerate(spans):
+                preds.append((t0, t1, arr[b]))
         preds.sort(key=lambda x: x[0])
         return preds
 

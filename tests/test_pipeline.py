@@ -119,6 +119,15 @@ def test_window_scorer_end_to_end(video, tmp_path):
     # per-frame decode+resize math, only the assembly point differs
     preds_host = scorer._score_streaming(ds)
     preds_loader = scorer._score_loader(ds)
+    # small chunks + tiny per-call budget force multiple chunk uploads,
+    # tail-chunk padding and the overfull-chunk split loop
+    scorer_mc = WindowScorer(module, params, mesh, batch_size=4,
+                             chunk_frames=64)
+    scorer_mc.windows_per_call = 3
+    preds_mc = scorer_mc._score_device_gather(ds)
+    assert [p[:2] for p in preds] == [p[:2] for p in preds_mc]
+    for a, b in zip(preds, preds_mc):
+        np.testing.assert_allclose(a[2], b[2], atol=2e-5)
     assert [p[:2] for p in preds] == [p[:2] for p in preds_host]
     assert [p[:2] for p in preds] == [p[:2] for p in preds_loader]
     for a, b in zip(preds, preds_host):
