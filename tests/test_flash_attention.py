@@ -199,6 +199,46 @@ class TestFusedDense:
             np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                        rtol=1e-4, atol=1e-4)
 
+    def test_bwd_kernels_bf16(self):
+        """Production dtype smoke: bf16 operands through both Pallas
+        backwards (interpret mode), grads finite and close to the f32
+        reference within bf16 resolution."""
+        from aicity_action_tpu.ops.pallas import flash_attention as fa
+        from aicity_action_tpu.ops.pallas.fused_dense import (
+            _ref_ln_mlp, fused_ln_mlp, fused_ln_qkv)
+
+        rng = np.random.RandomState(3)
+        M, D, H = 64, 32, 64
+        args32 = [
+            jnp.asarray(rng.randn(*s).astype(np.float32)) * 0.5
+            for s in [(M, D), (D,), (D,), (D, H), (H,), (H, D), (D,)]
+        ]
+        args16 = [a.astype(jnp.bfloat16) for a in args32]
+        old = fa.INTERPRET
+        fa.INTERPRET = True
+        try:
+            g16 = jax.grad(
+                lambda *a: fused_ln_mlp(*a, 1e-6).astype(jnp.float32).sum(),
+                argnums=(0, 3, 5))(*args16)
+            q16 = jax.grad(
+                lambda x, gm, bt, w: sum(
+                    o.astype(jnp.float32).sum()
+                    for o in fused_ln_qkv(x, gm, bt, w, None, 1e-6)),
+                argnums=(0, 3))(*args16[:3], args16[3].repeat(3, axis=1))
+        finally:
+            fa.INTERPRET = old
+        gref = jax.grad(
+            lambda *a: _ref_ln_mlp(*a, 1e-6).astype(jnp.float32).sum(),
+            argnums=(0, 3, 5))(*args16)
+        for a, e in zip(g16, gref):
+            a, e = np.asarray(a, np.float32), np.asarray(e, np.float32)
+            assert np.isfinite(a).all()
+            # bf16 near-cancellations allow isolated outliers; the smoke
+            # guard is aggregate agreement, not elementwise tightness
+            np.testing.assert_allclose(a, e, rtol=0.2, atol=0.2)
+        for a in q16:
+            assert np.isfinite(np.asarray(a, np.float32)).all()
+
     def test_bwd_gates_cover_production_shapes(self):
         """MViT-B @448 bs4 shapes must stay on the Pallas backwards
         (regression guard: a gate change silently falling back to the
