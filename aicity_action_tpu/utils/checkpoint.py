@@ -25,7 +25,10 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 from .convert import (
+    convert_convnet_state_dict,
     convert_mvit_state_dict,
+    flatten_shapes,
+    load_c2_checkpoint,
     load_torch_checkpoint,
     merge_with_model_params,
 )
@@ -95,6 +98,9 @@ def save_checkpoint(output_dir: str, state, epoch: int, cfg=None) -> str:
     return path
 
 
+_CONVNET_MODELS = ("ResNet", "SlowFast", "X3D")
+
+
 def load_checkpoint(
     path: str,
     state,
@@ -103,18 +109,33 @@ def load_checkpoint(
     epoch_reset: bool = False,
     clear_name_pattern=(),
     inflate: bool = False,
+    model_name: str = "MViT",
 ) -> tuple[Any, int]:
     """Load into a TrainState. Returns (state, epoch).
 
     torch checkpoints go through the converter with shape-matched partial
     load; orbax checkpoints restore optimizer state unless ``epoch_reset``.
+    ``model_name`` routes to the right state_dict converter: MViT/ActionCLIP
+    use the transformer map, conv backbones (SlowFast/ResNet/X3D) use the
+    conv map with BN running stats → ``batch_stats``. Caffe2 ``.pkl``
+    checkpoints go through the c2 name chain first
+    (reference ``checkpoint.py:219-287``).
     """
     if convert_from_torch or path.endswith((".pyth", ".pth", ".pt", ".pkl")):
-        ckpt = load_torch_checkpoint(path)
-        sd = ckpt.get("model_state", ckpt)
+        if path.endswith(".pkl"):
+            sd = load_c2_checkpoint(path)
+            ckpt = {}
+        else:
+            ckpt = load_torch_checkpoint(path)
+            sd = ckpt.get("model_state", ckpt)
         if clear_name_pattern:
             sd = {_clear_names(k, clear_name_pattern): v for k, v in sd.items()}
-        converted, skipped = convert_mvit_state_dict(sd)
+        stats = {}
+        if model_name in _CONVNET_MODELS:
+            converted, stats, skipped = convert_convnet_state_dict(
+                sd, model_shapes=flatten_shapes(state.params))
+        else:
+            converted, skipped = convert_mvit_state_dict(sd)
         if skipped:
             logger.info("converter skipped %d keys (e.g. %s)",
                         len(skipped), skipped[:5])
@@ -127,8 +148,20 @@ def load_checkpoint(
         )
         for k, got, want in mismatched[:10]:
             logger.info("  mismatch %s: ckpt %s vs model %s", k, got, want)
+        extra = {}
+        if stats and getattr(state, "model_state", None) is not None \
+                and state.model_state.get("batch_stats"):
+            merged_bs, bs_loaded, bs_mis, _ = merge_with_model_params(
+                stats, state.model_state["batch_stats"],
+                broadcast_leading=True,
+            )
+            logger.info("batch_stats load: %d loaded, %d mismatched",
+                        len(bs_loaded), len(bs_mis))
+            ms = dict(state.model_state)
+            ms["batch_stats"] = merged_bs
+            extra["model_state"] = ms
         epoch = int(ckpt.get("epoch", 0)) if not epoch_reset else 0
-        return state.replace(params=params), epoch
+        return state.replace(params=params, **extra), epoch
 
     payload = _checkpointer().restore(path)
     params = _like(state.params, payload["params"])
@@ -193,6 +226,7 @@ def load_train_checkpoint(cfg, state) -> tuple[Any, int]:
             epoch_reset=cfg.TRAIN.CHECKPOINT_EPOCH_RESET,
             clear_name_pattern=cfg.TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN,
             inflate=cfg.TRAIN.CHECKPOINT_INFLATE,
+            model_name=cfg.MODEL.MODEL_NAME,
         )
         return state, epoch
     return state, 0
@@ -205,6 +239,7 @@ def load_test_checkpoint(cfg, state):
             cfg.TEST.CHECKPOINT_FILE_PATH, state,
             convert_from_torch=cfg.TEST.CHECKPOINT_TYPE == "pytorch",
             epoch_reset=True,
+            model_name=cfg.MODEL.MODEL_NAME,
         )
     elif has_checkpoint(cfg.OUTPUT_DIR):
         state, _ = load_checkpoint(get_last_checkpoint(cfg.OUTPUT_DIR), state,
@@ -214,6 +249,7 @@ def load_test_checkpoint(cfg, state):
             cfg.TRAIN.CHECKPOINT_FILE_PATH, state,
             convert_from_torch=cfg.TRAIN.CHECKPOINT_TYPE == "pytorch",
             epoch_reset=True,
+            model_name=cfg.MODEL.MODEL_NAME,
         )
     else:
         logger.info("Testing with random initialization (no checkpoint found)")

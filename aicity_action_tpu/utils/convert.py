@@ -151,6 +151,165 @@ def _convert_block_entry(rest: list[str], w: np.ndarray):
     return None, None
 
 
+_BN_LEAVES = {
+    "weight": ("params", "scale"),
+    "bias": ("params", "bias"),
+    "running_mean": ("stats", "mean"),
+    "running_var": ("stats", "var"),
+}
+
+# module names that pass through to identically-named flax submodules
+_CONV_PASSTHROUGH = {
+    "branch1", "branch2", "a", "b", "c", "se", "fc1", "fc2", "conv",
+    "conv_xy", "conv_f2s", "conv_theta", "conv_phi", "conv_g", "conv_out",
+    "conv_5", "lin_5", "projection", "head", "pathway0_stem", "pathway1_stem",
+}
+
+
+def convert_convnet_state_dict(
+    sd: Mapping[str, np.ndarray], model_shapes: Mapping[tuple, tuple] | None = None
+) -> tuple[dict, dict, list[str]]:
+    """Convert a reference conv-net state_dict (SlowFast / ResNet / X3D,
+    `video_model_builder.py:108-793` module names) to this framework's
+    ``(params, batch_stats)`` trees.
+
+    Layout rules are the same as for MViT plus:
+
+    - BatchNorm ``weight/bias`` → params ``scale/bias`` inside the flax
+      BatchNorm wrapper (path ``<name>/bn/…``; the stem's norm is named
+      ``norm``); ``running_mean/running_var`` → ``batch_stats`` ``mean/var``.
+    - ``sN.pathwayP_stem`` collapses to the flax module ``sN_pathwayP_stem``.
+    - 2-D conv kernels ``[O, I, kH, kW]`` are inflated to the model's
+      temporal extent by repeat+divide (reference ``checkpoint.py:142-179``),
+      using ``model_shapes`` (flat path→shape of the target params) when given.
+
+    Returns ``(params, batch_stats, skipped_names)``.
+    """
+    import re
+
+    sd = state_dict_to_numpy(sd)
+    params: dict = {}
+    stats: dict = {}
+    skipped: list[str] = []
+
+    for name, w in sd.items():
+        if name.startswith("module."):
+            name = name[len("module."):]
+        parts = name.split(".")
+        leaf = parts[-1]
+        mods = parts[:-1]
+        if not mods:
+            skipped.append(name)
+            continue
+
+        # sN.pathwayP_stem → single flax module sN_pathwayP_stem
+        if (len(mods) >= 2 and re.fullmatch(r"s\d+", mods[0])
+                and mods[1].endswith("_stem")):
+            mods = [f"{mods[0]}_{mods[1]}"] + mods[2:]
+
+        bn_mod = mods[-1] == "bn" or mods[-1].endswith("_bn")
+        if bn_mod:
+            if leaf == "num_batches_tracked":
+                continue
+            if leaf not in _BN_LEAVES:
+                skipped.append(name)
+                continue
+            wrapper = mods[-1]
+            if mods[0].endswith("_stem") and wrapper == "bn":
+                wrapper = "norm"  # ResNetBasicStem/X3DStem name their norm "norm"
+            path = mods[:-1] + [wrapper, "bn"]
+            coll, flax_leaf = _BN_LEAVES[leaf]
+            _set(params if coll == "params" else stats, path + [flax_leaf], w)
+            continue
+
+        if leaf == "bias":
+            _set(params, mods + ["bias"], w)
+        elif leaf == "weight" and w.ndim == 2:
+            _set(params, mods + ["kernel"], w.T)
+        elif leaf == "weight" and w.ndim in (4, 5):
+            if w.ndim == 4:  # 2-D checkpoint: inflate to the model's kT
+                t = 1
+                if model_shapes is not None:
+                    tgt = model_shapes.get(tuple(mods) + ("kernel",))
+                    if tgt is not None and len(tgt) == 5:
+                        t = int(tgt[0])
+                w = inflate_2d_to_3d(w, t)
+            _set(params, mods + ["kernel"], w.transpose(2, 3, 4, 1, 0))
+        else:
+            skipped.append(name)
+
+    return params, stats, skipped
+
+
+def load_c2_checkpoint(path: str) -> dict[str, np.ndarray]:
+    """Load a caffe2 ``.pkl`` checkpoint into a pytorch-style name→array dict
+    (reference ``checkpoint.py:219-287``): read ``blobs``, drop momentum /
+    iteration blobs, run every name through the c2 conversion chain."""
+    with open(path, "rb") as f:
+        ckpt = pickle.load(f, encoding="latin1")
+    blobs = ckpt.get("blobs", ckpt)
+    convert = get_c2_name_convert_func()
+    out = {}
+    for name, blob in blobs.items():
+        if "momentum" in name or name in ("model_iter", "lr"):
+            continue
+        if not isinstance(blob, np.ndarray):
+            continue
+        out[convert(name)] = blob
+    return out
+
+
+def load_cross_proj_weight(cfg, params):
+    """Initialize the multi-head cross-dataset projections from word-embedding
+    similarity ``.npy`` files (reference: tools/train_net.py:567-617).
+
+    ``MODEL.LOAD_MULTI_PROJ_INIT_FILE`` names a directory of ``d1_d2.npy``
+    files holding torch-layout ``[n_dst, n_src]`` weights; ``kinetics`` maps
+    to ``kinetics{num_classes}``. Returns a new params tree with
+    ``head/cross_{src}_{dst}/kernel`` replaced.
+    """
+    import os
+
+    datasets = list(cfg.MODEL.MULTI_DATASETS)
+    num_classes = list(cfg.MODEL.MULTI_NUM_CLASSES)
+    weight_dir = cfg.MODEL.LOAD_MULTI_PROJ_INIT_FILE
+
+    def fname(ds):
+        if ds == "kinetics":
+            return f"kinetics{num_classes[datasets.index('kinetics')]}"
+        return ds
+
+    import jax
+
+    params = jax.tree.map(np.asarray, params)
+    head = params["head"]
+    n_loaded = 0
+    for i, src in enumerate(datasets):
+        for j, dst in enumerate(datasets):
+            if i == j:
+                continue
+            key = f"cross_{src}_{dst}"
+            if key not in head:
+                continue
+            path = os.path.join(weight_dir, f"{fname(src)}_{fname(dst)}.npy")
+            w = np.load(path)  # torch [n_dst, n_src]
+            want = head[key]["kernel"].shape  # flax [n_src, n_dst]
+            assert w.T.shape == want, (path, w.shape, want)
+            head[key]["kernel"] = w.T.astype(head[key]["kernel"].dtype)
+            n_loaded += 1
+    return params, n_loaded
+
+
+def flatten_shapes(model_params) -> dict[tuple, tuple]:
+    """Flat path→shape map of a param tree (for conversion-time inflation)."""
+    import jax
+
+    return {
+        k: tuple(v.shape)
+        for k, v in _flatten(jax.tree.map(np.asarray, model_params)).items()
+    }
+
+
 def inflate_2d_to_3d(weight_2d: np.ndarray, time_dim: int) -> np.ndarray:
     """Inflate a 2-D conv kernel to 3-D by temporal repeat + divide
     (reference: checkpoint.py:142-179 inflate_weight).
@@ -239,13 +398,18 @@ def _flatten(tree: dict, prefix=()) -> dict[tuple, np.ndarray]:
 
 
 def merge_with_model_params(
-    converted: dict, model_params, *, strict: bool = False
+    converted: dict, model_params, *, strict: bool = False,
+    broadcast_leading: bool = False,
 ):
     """Shape-matched partial merge of converted weights into model params.
 
     Mirrors the reference's fine-tuning load (`checkpoint.py:322-347`): only
     keys present in the model with matching shapes are replaced. Returns
     (new_params, loaded_keys, mismatched_keys, missing_keys).
+
+    ``broadcast_leading`` tiles a ``[C]`` value to a ``[splits, C]`` target
+    (reference ``normal_to_sub_bn``, checkpoint.py:430-465 — loading plain-BN
+    running stats into a SubBatchNorm model).
     """
     import jax
 
@@ -256,7 +420,11 @@ def merge_with_model_params(
     new_flat = dict(flat_model)
     for k, v in flat_conv.items():
         if k in flat_model:
-            if flat_model[k].shape == v.shape:
+            tgt = flat_model[k].shape
+            if (broadcast_leading and v.shape != tgt
+                    and len(tgt) == len(v.shape) + 1 and tgt[1:] == v.shape):
+                v = np.tile(v[None], (tgt[0],) + (1,) * v.ndim)
+            if tgt == v.shape:
                 new_flat[k] = v.astype(flat_model[k].dtype)
                 loaded.append(k)
             else:

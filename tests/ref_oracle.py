@@ -72,5 +72,95 @@ def load_reference_heads():
     return _load("slowfast.models.head_helper", f"{REF}/head_helper.py")
 
 
+def load_reference_video_models():
+    """Full reference `video_model_builder` (SlowFast/ResNet/X3D classes),
+    loaded with stubbed fvcore/detectron2 so the torch models carry the exact
+    module names real `.pyth` checkpoints have (the converter's contract)."""
+    if "slowfast.models.video_model_builder" in sys.modules:
+        return sys.modules["slowfast.models.video_model_builder"]
+    load_reference_convnets()
+    load_reference_heads()
+
+    import torch.nn as nn
+
+    # fvcore stubs: Registry (build.py) + c2_msra_fill (weight_init_helper)
+    if "fvcore" not in sys.modules:
+        fv = types.ModuleType("fvcore")
+        fv_c = types.ModuleType("fvcore.common")
+        fv_reg = types.ModuleType("fvcore.common.registry")
+
+        class Registry:
+            def __init__(self, name):
+                self._name, self._map = name, {}
+
+            def register(self, obj=None):
+                def deco(cls):
+                    self._map[cls.__name__] = cls
+                    return cls
+
+                return deco(obj) if obj is not None else deco
+
+            def get(self, name):
+                return self._map[name]
+
+        fv_reg.Registry = Registry
+        fv_n = types.ModuleType("fvcore.nn")
+        fv_wi = types.ModuleType("fvcore.nn.weight_init")
+
+        def c2_msra_fill(module):
+            nn.init.kaiming_normal_(
+                module.weight, mode="fan_out", nonlinearity="relu")
+            if module.bias is not None:
+                nn.init.constant_(module.bias, 0.0)
+
+        fv_wi.c2_msra_fill = c2_msra_fill
+        fv_c.registry = fv_reg
+        fv_n.weight_init = fv_wi
+        fv.common, fv.nn = fv_c, fv_n
+        for k, v in [("fvcore", fv), ("fvcore.common", fv_c),
+                     ("fvcore.common.registry", fv_reg), ("fvcore.nn", fv_n),
+                     ("fvcore.nn.weight_init", fv_wi)]:
+            sys.modules[k] = v
+
+    # slowfast.utils package: real distributed.py, stub logging
+    if "slowfast.utils" not in sys.modules:
+        sys.modules["slowfast.utils"] = types.ModuleType("slowfast.utils")
+    utils_pkg = sys.modules["slowfast.utils"]
+    if "slowfast.utils.logging" not in sys.modules:
+        lg = types.ModuleType("slowfast.utils.logging")
+        import logging as _pylogging
+
+        lg.get_logger = lambda name: _pylogging.getLogger(name)
+        sys.modules["slowfast.utils.logging"] = lg
+        utils_pkg.logging = lg
+    if "slowfast.utils.distributed" not in sys.modules:
+        du = _load("slowfast.utils.distributed",
+                   "/root/reference/slowfast/utils/distributed.py")
+        utils_pkg.distributed = du
+    mu = _load("slowfast.models.utils", f"{REF}/utils.py")
+    sys.modules["slowfast.models"].utils = mu
+    wih = _load("slowfast.utils.weight_init_helper",
+                "/root/reference/slowfast/utils/weight_init_helper.py")
+    utils_pkg.weight_init_helper = wih
+    bnh = _load("slowfast.models.batchnorm_helper",
+                f"{REF}/batchnorm_helper.py")
+    sys.modules["slowfast.models"].batchnorm_helper = bnh
+    tm = _load("slowfast.models.text_models", f"{REF}/text_models.py")
+    sys.modules["slowfast.models"].text_models = tm
+    bld = _load("slowfast.models.build", f"{REF}/build.py")
+    sys.modules["slowfast.models"].build = bld
+    # attach siblings for `from . import head_helper, resnet_helper, ...`
+    pkg = sys.modules["slowfast.models"]
+    pkg.head_helper = sys.modules["slowfast.models.head_helper"]
+    pkg.resnet_helper = sys.modules["slowfast.models.resnet_helper"]
+    pkg.stem_helper = sys.modules["slowfast.models.stem_helper"]
+    pkg.attention = sys.modules["slowfast.models.attention"]
+    pkg.__path__ = [REF]
+    sys.modules["slowfast"].__path__ = ["/root/reference/slowfast"]
+    utils_pkg.__path__ = ["/root/reference/slowfast/utils"]
+    return _load("slowfast.models.video_model_builder",
+                 f"{REF}/video_model_builder.py")
+
+
 def torch_to_numpy(t):
     return t.detach().cpu().numpy()
