@@ -45,10 +45,18 @@ class ContrastiveState(flax.struct.PyTreeNode):
         )
 
 
-def contrastive_gt_matrix(labels: jax.Array) -> jax.Array:
-    """Row-normalized same-label match matrix (metrics.py:9-23)."""
+def contrastive_gt_matrix(labels: jax.Array, valid=None) -> jax.Array:
+    """Row-normalized same-label match matrix (metrics.py:9-23).
+
+    ``valid`` (bool ``[B]``) zeroes padded rows/columns; the denominator is
+    clamped so padded rows yield all-zero targets (hence zero loss) instead
+    of NaN. With no padding the clamp is inert (the diagonal guarantees a
+    row sum ≥ 1)."""
     same = (labels[:, None] == labels[None, :]).astype(jnp.float32)
-    return same / same.sum(axis=1, keepdims=True)
+    if valid is not None:
+        v = valid.astype(jnp.float32)
+        same = same * v[:, None] * v[None, :]
+    return same / jnp.maximum(same.sum(axis=1, keepdims=True), 1.0)
 
 
 def recall_at_rank(simi: np.ndarray, gt: np.ndarray, ks=(1, 5, 10)):
@@ -84,7 +92,17 @@ def make_contrastive_train_step(
             v_m = jax.lax.stop_gradient(v_m)
             t_m = jax.lax.stop_gradient(t_m)
 
-        gt = contrastive_gt_matrix(labels)
+        # padded batch rows (n_valid) must not appear as negatives in the
+        # softmax NOR contribute rows to the loss
+        n_valid = batch.get("n_valid")
+        B = labels.shape[0]
+        if n_valid is None:
+            valid, col_bias, denom = None, 0.0, float(B)
+        else:
+            valid = jnp.arange(B) < n_valid
+            col_bias = jnp.where(valid, 0.0, -1e9)[None, :]
+            denom = n_valid.astype(jnp.float32)
+        gt = contrastive_gt_matrix(labels, valid)
 
         def compute_loss(params):
             v, t, scale = module.apply(
@@ -97,10 +115,11 @@ def make_contrastive_train_step(
             else:
                 logits_v = scale * v @ t.T
                 logits_t = logits_v.T
-            loss = (
-                loss_lib.soft_cross_entropy(logits_v, gt)
-                + loss_lib.soft_cross_entropy(logits_t, gt.T)
-            ) / 2.0
+            per_v = loss_lib.soft_cross_entropy(
+                logits_v + col_bias, gt, reduction="none")
+            per_t = loss_lib.soft_cross_entropy(
+                logits_t + col_bias, gt.T, reduction="none")
+            loss = (per_v.sum() + per_t.sum()) / (2.0 * denom)
             return loss, (v, t, scale)
 
         (loss, (v, t, scale)), grads = jax.value_and_grad(

@@ -81,6 +81,10 @@ def train_contrastive(cfg):
             for cur_iter, batch in enumerate(train_loader):
                 batch, n_valid = _pad_batch_tokens(batch, per_host_batch)
                 dev_batch = _put(batch, b_sh)
+                # traced scalar masking padded rows out of the in-batch
+                # similarity loss (see make_contrastive_train_step)
+                dev_batch["n_valid"] = jax.device_put(
+                    np.int32(n_valid), replicated(mesh))
                 meter.data_toc()
                 state, metrics, _ = jitted(state, dev_batch, rng)
                 loss = float(np.asarray(metrics["loss"]))

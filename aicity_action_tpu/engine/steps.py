@@ -140,12 +140,18 @@ def make_multihead_train_step(
     cross_proj_add_to_pred: bool = False,
     proj_loss_func: str | None = None,
     proj_loss_weight: float = 0.5,
+    use_vicreg: bool = False,
+    vicreg_weight: float = 0.01,
 ) -> Callable:
     """Multi-dataset training step (reference: train_net.py:155-218).
 
     The batch carries one-hot labels in the max class space plus a
     ``dataset_idx`` column; per-dataset masks and per-dataset label slices
-    are derived inside the step.
+    are derived inside the step. ``use_vicreg`` adds the std+cov regularizer
+    on the pooled embedding (reference: train_net.py:155-162; the reference
+    asserts GATHER_BEFORE_LOSS because it needs the global batch — under
+    sharded jit the batch axis is already global). Padded batch rows
+    (``n_valid``) are masked out of every term.
     """
     weights = (
         dict(zip(datasets, loss_weights)) if loss_weights is not None else None
@@ -157,26 +163,38 @@ def make_multihead_train_step(
         inputs = batch["inputs"]
         labels_full = batch["labels"]  # [B, max_classes] one-hot
         ds_idx = batch["dataset_idx"]  # [B]
+        n_valid = batch.get("n_valid")
+        B = labels_full.shape[0]
+        valid = (
+            None if n_valid is None
+            else (jnp.arange(B) < n_valid).astype(jnp.float32)
+        )
 
         masks = {
             ds: (ds_idx == i).astype(jnp.float32)
+            * (1.0 if valid is None else valid)
             for i, ds in enumerate(datasets)
         }
-        from ..models.losses import compute_multi_dataset_loss
+        from ..models.losses import (
+            compute_multi_dataset_loss,
+            compute_vicreg_loss,
+        )
 
         n_cls = {ds: n for ds, n in zip(
             datasets, module.spec.multi_num_classes)}
 
         def compute_loss(params):
-            preds = module.apply(
+            out = module.apply(
                 {"params": params},
                 inputs,
                 None,
                 None,
                 train=True,
                 run_cross_proj=add_cross_proj,
+                return_emb=use_vicreg,
                 rngs={"dropout": dropout_rng, "droppath": droppath_rng},
             )
+            preds, emb = out if use_vicreg else (out, None)
             labels = {ds: labels_full[:, : n_cls[ds]] for ds in datasets}
             loss = compute_multi_dataset_loss(
                 preds, labels, masks, datasets, loss_funcs,
@@ -185,7 +203,13 @@ def make_multihead_train_step(
                 cross_proj_add_to_pred=cross_proj_add_to_pred,
                 proj_loss_func=proj_loss_func,
                 proj_loss_weight=proj_loss_weight,
+                num_valid=n_valid,
             )
+            if use_vicreg:
+                loss = loss + vicreg_weight * compute_vicreg_loss(
+                    emb.astype(jnp.float32), std_weight=1.0, cov_weight=1.0,
+                    mask=valid,
+                )
             return loss, preds
 
         (loss, preds), grads = jax.value_and_grad(

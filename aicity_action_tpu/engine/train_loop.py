@@ -89,6 +89,17 @@ def train(cfg):
     state = TrainState.create(params, tx, model_state)
     state, start_epoch = cu.load_train_checkpoint(cfg, state)
 
+    if (cfg.MODEL.MULTI_ADD_CROSS_PROJ and cfg.MODEL.LOAD_MULTI_PROJ_INIT_FILE
+            and start_epoch == 0):
+        # word-embedding-similarity warm start for the cross-dataset
+        # projections (reference: train_net.py:679-686)
+        from ..utils.convert import load_cross_proj_weight
+
+        new_params, n_loaded = load_cross_proj_weight(cfg, state.params)
+        state = state.replace(params=new_params)
+        logger.info("loaded %d cross-dataset projection weights from %s",
+                    n_loaded, cfg.MODEL.LOAD_MULTI_PROJ_INIT_FILE)
+
     detection = cfg.DETECTION.ENABLE
     multihead = cfg.MODEL.USE_MULTI_HEAD and not detection
     mixup_fn = None
@@ -110,6 +121,8 @@ def train(cfg):
             cross_proj_add_to_pred=cfg.MODEL.MULTI_CROSS_PROJ_ADD_TO_PRED,
             proj_loss_func=cfg.MODEL.MULTI_PROJ_LOSS_FUNC,
             proj_loss_weight=cfg.MODEL.MULTI_PROJ_LOSS_WEIGHT,
+            use_vicreg=cfg.MODEL.USE_VICREG_LOSS,
+            vicreg_weight=cfg.MODEL.VICREG_LOSS_WEIGHT,
         )
         jitted_eval = jax.jit(make_multihead_eval_step(module))
     else:

@@ -122,12 +122,15 @@ def compute_multi_dataset_loss(
     cross_proj_add_to_pred=False,
     proj_loss_func=None,
     proj_loss_weight=0.5,
+    num_valid=None,
 ):
     """Masked multi-head loss (reference: losses.py:12-89).
 
     ``preds`` may contain extra ``"{src}_{dst}"`` cross-projection entries.
     Per-sample losses are masked by dataset membership, weighted, concatenated
-    and summed over all heads, divided by the minibatch size.
+    and summed over all heads, divided by the minibatch size (``num_valid``
+    when the batch carries padding — the caller must already have zeroed the
+    padded rows out of ``masks``).
     """
     losses = []
     assert len(datasets) == len(loss_funcs)
@@ -171,18 +174,30 @@ def compute_multi_dataset_loss(
             loss = dataset_loss_weights[dataset_name] * loss
         losses.append(masks[dataset_name] * loss)
 
-    return jnp.concatenate(losses, axis=0).sum() / losses[0].shape[0]
+    denom = losses[0].shape[0] if num_valid is None else num_valid
+    return jnp.concatenate(losses, axis=0).sum() / denom
 
 
-def compute_vicreg_loss(emb, std_weight=25.0, cov_weight=1.0):
-    """VICReg std+cov regularizer (reference: losses.py:97-116)."""
-    emb = emb - emb.mean(axis=0)
+def compute_vicreg_loss(emb, std_weight=25.0, cov_weight=1.0, mask=None):
+    """VICReg std+cov regularizer (reference: losses.py:97-116).
+
+    ``mask`` (``[B]`` of 0/1) excludes padded batch rows from the batch
+    statistics; with all-ones it reduces exactly to the unmasked form.
+    """
+    if mask is None:
+        n = emb.shape[0]
+        emb = emb - emb.mean(axis=0)
+    else:
+        m = mask.astype(emb.dtype)[:, None]
+        n = mask.sum()
+        emb = (emb - (emb * m).sum(axis=0) / n) * m
     # torch.var defaults to the unbiased (n-1) estimator
-    std_emb = jnp.sqrt(emb.var(axis=0, ddof=1) + 1e-4)
+    var = (emb ** 2).sum(axis=0) / (n - 1)
+    std_emb = jnp.sqrt(var + 1e-4)
     std_loss = jnp.mean(jax.nn.relu(1 - std_emb))
 
-    b, f = emb.shape
-    cov = (emb.T @ emb) / (b - 1)
+    f = emb.shape[1]
+    cov = (emb.T @ emb) / (n - 1)
     off_diag = cov - jnp.diag(jnp.diag(cov))
     cov_loss = (off_diag ** 2).sum() / f
     return std_loss * std_weight + cov_loss * cov_weight

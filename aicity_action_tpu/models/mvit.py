@@ -779,7 +779,8 @@ class MViT(nn.Module):
 
     @nn.compact
     def __call__(self, x, bboxes=None, dataset_name=None, *,
-                 train: bool = False, run_cross_proj: bool = False):
+                 train: bool = False, run_cross_proj: bool = False,
+                 return_emb: bool = False):
         sp = self.spec
         deterministic = not train
         if not sp.direct_input and isinstance(x, (list, tuple)):
@@ -919,7 +920,7 @@ class MViT(nn.Module):
         if sp.use_multi_head:
             from .heads import TransformerMultiHead
 
-            return TransformerMultiHead(
+            out = TransformerMultiHead(
                 datasets=sp.multi_datasets,
                 num_classes=sp.multi_num_classes,
                 act_funcs=sp.multi_head_act,
@@ -930,6 +931,11 @@ class MViT(nn.Module):
                 param_dtype=self.param_dtype,
                 name="head",
             )(feat, dataset_name, run_cross_proj=run_cross_proj, train=train)
+            if return_emb:
+                # (preds, pooled representation) for the VICReg regularizer
+                # (reference: video_model_builder.py:1325-1331)
+                return out, feat
+            return out
 
         return TransformerBasicHead(
             num_classes=sp.num_classes,

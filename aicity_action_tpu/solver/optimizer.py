@@ -132,6 +132,14 @@ def construct_optimizer(
 
     tx = optax.chain(*chain)
 
+    if cfg.MODEL.MULTI_ADD_CROSS_PROJ and cfg.MODEL.MULTI_FIX_PROJ:
+        # freeze the cross-dataset projections (reference intent at
+        # train_net.py:688-695; its `.require_grad = False` is a silent
+        # no-op typo — here the updates really are zeroed)
+        tx = optax.chain(
+            tx, optax.masked(optax.set_to_zero(), wd_mask_for("cross_proj"))
+        )
+
     if cfg.MODEL.MULTI_PROJ_TRAIN_DIFF_LR:
         # scale cross-proj leaves' update by lr_proj / lr_base per step
         proj_scale = optax.masked(
