@@ -60,9 +60,18 @@ class VideoActionClassifier:
         self.module = module
         self.params = state.params
         self.model_state = state.model_state
+        self.detection = bool(cfg.DETECTION.ENABLE)
 
-        def fwd(p, ms, xs):
-            return module.apply({"params": p, **ms}, xs, train=False)
+        if self.detection:
+            # detection checkpoints score whole clips through the RoI head
+            # on a synthesized full-frame box per sample
+            # (module_wrapper.py:558-576)
+            def fwd(p, ms, xs, boxes):
+                return module.apply({"params": p, **ms}, xs, boxes,
+                                    train=False)
+        else:
+            def fwd(p, ms, xs):
+                return module.apply({"params": p, **ms}, xs, train=False)
 
         self._fn = jax.jit(fwd)
 
@@ -89,6 +98,14 @@ class VideoActionClassifier:
 
         if self._exported is not None:
             out = self._exported.call(*[jnp.asarray(x) for x in xs])
+        elif self.detection:
+            H, W = xs[0].shape[2], xs[0].shape[3]
+            boxes = np.zeros((self.batch_size, 5), np.float32)
+            boxes[:, 0] = np.arange(self.batch_size)
+            boxes[:, 3] = W
+            boxes[:, 4] = H
+            out = self._fn(self.params, self.model_state,
+                           [jnp.asarray(x) for x in xs], jnp.asarray(boxes))
         else:
             out = self._fn(self.params, self.model_state,
                            [jnp.asarray(x) for x in xs])

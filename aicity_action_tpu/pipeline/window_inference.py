@@ -331,10 +331,17 @@ class _WindowItemAdapter:
 
 
 class WindowScorer:
-    """Batched, sharded scoring of sliding windows on the mesh."""
+    """Batched, sharded scoring of sliding windows on the mesh.
+
+    ``model_state`` carries non-param variable collections (BatchNorm running
+    stats) so BN-bearing backbones (SlowFast/ResNet/X3D) deploy correctly.
+    ``detection=True`` synthesizes one whole-frame box per window and runs
+    the RoI head on it (reference: scripts/module_wrapper.py:558-576).
+    """
 
     def __init__(self, module, params, mesh, batch_size: int = 8,
-                 num_workers: int = 8, chunk_frames: int = 512):
+                 num_workers: int = 8, chunk_frames: int = 512,
+                 model_state=None, detection: bool = False):
         import jax
 
         from ..parallel.mesh import batch_sharding, replicated
@@ -345,18 +352,41 @@ class WindowScorer:
         self.batch_size = -(-batch_size // n_data) * n_data
         self.num_workers = num_workers
         self.chunk_frames = chunk_frames
+        self.detection = detection
         # windows scored per device dispatch in the gather path: covers a
         # full chunk at the standard 16-frame proposal stride (+ slack for
         # fps renormalization); fixed so warm-up compiles the real shape
         self.windows_per_call = chunk_frames // 16 + 4
         self._b_sh = batch_sharding(mesh)
         self._repl = replicated(mesh)
-        self._params = jax.device_put(params, self._repl)
+        self._variables = jax.device_put(
+            {"params": params, **(model_state or {})}, self._repl)
         self._module = module
-        self._fn = jax.jit(
-            lambda p, xs: module.apply({"params": p}, xs, train=False)
-        )
+        if detection:
+            self._fn = jax.jit(
+                lambda v, xs, boxes: module.apply(v, xs, boxes, train=False)
+            )
+        else:
+            self._fn = jax.jit(
+                lambda v, xs: module.apply(v, xs, train=False)
+            )
         self._jax = jax
+
+    def _whole_frame_boxes(self, n: int, size: int) -> np.ndarray:
+        """One full-frame ``[batch_idx, 0, 0, W, H]`` box per window
+        (module_wrapper.py:558-576 — equivalent to mean-pooling HW)."""
+        boxes = np.zeros((n, 5), np.float32)
+        boxes[:, 0] = np.arange(n)
+        boxes[:, 3] = size
+        boxes[:, 4] = size
+        return boxes
+
+    def _apply(self, xs, n: int, size: int):
+        if self.detection:
+            boxes = self._jax.device_put(
+                self._whole_frame_boxes(n, size), self._b_sh)
+            return self._fn(self._variables, xs, boxes)
+        return self._fn(self._variables, xs)
 
     def score_video(self, dataset: WindowDataset, *,
                     streaming: bool = True) -> list:
@@ -368,7 +398,7 @@ class WindowScorer:
         loader (useful with decord, which does true indexed reads).
         """
         if streaming and dataset.backend == "cv2":
-            if dataset.arch_pathways == 1:
+            if dataset.arch_pathways == 1 and not self.detection:
                 return self._score_device_gather(dataset)
             return self._score_streaming(dataset)
         return self._score_loader(dataset)
@@ -415,11 +445,11 @@ class WindowScorer:
         n_data = int(self.mesh.shape[self.mesh.axis_names[0]])
         nw = -(-self.windows_per_call // n_data) * n_data
 
-        def score_fn(p, buf, idx):
+        def score_fn(v, buf, idx):
             # buf [TAIL+F, s, s, 3] u8 (replicated); idx [nw, T] (sharded)
             x = buf[idx]
             x = (x.astype(jnp.float32) / 255.0 - mean) / std
-            return module.apply({"params": p}, [x], train=False)
+            return module.apply(v, [x], train=False)
 
         fn = jax.jit(score_fn)
 
@@ -442,7 +472,7 @@ class WindowScorer:
                     idx = np.zeros((nw, T), np.int32)
                     for r, w in enumerate(grp):
                         idx[r] = plans[w][2] - base + TAIL
-                    out = fn(self._params, buf,
+                    out = fn(self._variables, buf,
                              jax.device_put(idx, self._b_sh))
                     pending.append(
                         (out, [(plans[w][0], plans[w][1]) for w in grp]))
@@ -463,15 +493,15 @@ class WindowScorer:
         # single-pathway models take the u8 fast path: normalize on-device,
         # ship 4x fewer bytes host->device
         raw_u8 = dataset.arch_pathways == 1
+        detection = self.detection
         if raw_u8:
             mean = jnp.asarray(dataset.mean, jnp.float32)
             std = jnp.asarray(dataset.std, jnp.float32)
             module = self._module
-            params = self._params
 
-            def fwd_u8(p, xs):
+            def fwd_u8(v, xs, *boxes):
                 x = (xs[0].astype(jnp.float32) / 255.0 - mean) / std
-                return module.apply({"params": p}, [x], train=False)
+                return module.apply(v, [x], *boxes, train=False)
 
             fn = jax.jit(fwd_u8)
         else:
@@ -493,7 +523,13 @@ class WindowScorer:
                 xs = [np.concatenate([x, np.repeat(x[-1:], pad, 0)])
                       for x in xs]
             xs = [jax.device_put(x, self._b_sh) for x in xs]
-            out = fn(self._params, xs)  # async dispatch
+            if detection:
+                boxes = jax.device_put(
+                    self._whole_frame_boxes(
+                        self.batch_size, dataset.frame_size), self._b_sh)
+                out = fn(self._variables, xs, boxes)
+            else:
+                out = fn(self._variables, xs)  # async dispatch
             pending.append((out, list(cur_spans)))
             cur_inputs.clear()
             cur_spans.clear()
@@ -531,7 +567,9 @@ class WindowScorer:
                     ]
                 xs = [jax.device_put(x, self._b_sh) for x in xs]
                 out = np.asarray(
-                    jax.device_get(self._fn(self._params, xs)), np.float32
+                    jax.device_get(self._apply(
+                        xs, self.batch_size, dataset.frame_size)),
+                    np.float32,
                 )[:n]
                 for b in range(n):
                     t0, t1 = (int(v) for v in batch["labels"][b])

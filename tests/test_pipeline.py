@@ -220,3 +220,108 @@ def test_convert_and_split(tmp_path):
     assert train and val
     # NA/empty mapped to class 0
     assert " 0\n" in (train + val)
+
+
+def _tiny_slowfast_cfg():
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "SlowFast"
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.MODEL.DROPOUT_RATE = 0.0
+    cfg.RESNET.DEPTH = 50
+    cfg.RESNET.WIDTH_PER_GROUP = 4
+    cfg.RESNET.NUM_GROUPS = 1
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[3, 3], [4, 4], [6, 6], [3, 3]]
+    cfg.RESNET.SPATIAL_STRIDES = [[1, 1], [2, 2], [2, 2], [2, 2]]
+    cfg.RESNET.SPATIAL_DILATIONS = [[1, 1], [1, 1], [1, 1], [1, 1]]
+    cfg.NONLOCAL.LOCATION = [[[], []], [[], []], [[], []], [[], []]]
+    cfg.NONLOCAL.GROUP = [[1, 1], [1, 1], [1, 1], [1, 1]]
+    cfg.NONLOCAL.POOL = [
+        [[1, 2, 2], [1, 2, 2]], [[1, 2, 2], [1, 2, 2]],
+        [[1, 2, 2], [1, 2, 2]], [[1, 2, 2], [1, 2, 2]],
+    ]
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.SLOWFAST.BETA_INV = 4
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.DATA.INPUT_CHANNEL_NUM = [3, 3]
+    return cfg
+
+
+def test_window_scorer_bn_model_uses_batch_stats(video):
+    """VERDICT round-2 Missing #5: a BN-bearing backbone (SlowFast) must
+    window-infer through its batch_stats — scores must CHANGE when the
+    running stats change (proving model_state is threaded, not dropped)."""
+    import jax
+
+    from aicity_action_tpu.models.build import build_model_with_state
+    from aicity_action_tpu.parallel.mesh import make_mesh
+
+    cfg = _tiny_slowfast_cfg()
+    mesh = make_mesh(cfg, devices=jax.devices()[:2])
+    module, params, model_state = build_model_with_state(cfg)
+    assert model_state.get("batch_stats"), "SlowFast must carry batch_stats"
+
+    ds = WindowDataset(video, frame_length=8, frame_stride=2,
+                       proposal_stride=64, frame_size=32,
+                       arch_pathways=2, slowfast_alpha=4)
+
+    scorer = WindowScorer(module, params, mesh, batch_size=2,
+                          model_state=model_state)
+    preds = scorer.score_video(ds)
+    assert len(preds) == len(ds)
+
+    # perturb the running stats -> different eval scores
+    import jax.numpy as jnp
+
+    shifted = jax.tree.map(lambda x: x + 0.5, model_state["batch_stats"])
+    scorer2 = WindowScorer(module, params, mesh, batch_size=2,
+                           model_state={"batch_stats": shifted})
+    preds2 = scorer2.score_video(ds)
+    diff = max(
+        float(np.abs(a[2] - b[2]).max()) for a, b in zip(preds, preds2))
+    assert diff > 1e-4, "batch_stats had no effect on window scores"
+
+
+def test_window_scorer_detection_whole_frame_boxes(video):
+    """Detection checkpoints deploy via synthesized whole-frame boxes
+    (reference module_wrapper.py:558-576)."""
+    import jax
+
+    from aicity_action_tpu.models.build import build_model_with_state
+    from aicity_action_tpu.parallel.mesh import make_mesh
+
+    cfg = get_cfg()
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.INPUT_CHANNEL_NUM = [3]
+    cfg.MODEL.MODEL_NAME = "MViT"
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.MODEL.HEAD_ACT = "sigmoid"
+    cfg.DETECTION.ENABLE = True
+    cfg.DETECTION.ROI_XFORM_RESOLUTION = 2
+    cfg.DETECTION.SPATIAL_SCALE_FACTOR = 4
+    m = cfg.MVIT
+    m.EMBED_DIM = 16
+    m.DEPTH = 1
+    m.PATCH_PADDING = (1, 3, 3)
+    m.POOL_KVQ_KERNEL = [3, 3, 3]
+    m.POOL_KV_STRIDE_ADAPTIVE = [1, 2, 2]
+    m.POOL_Q_STRIDE = []
+    m.CLS_EMBED_ON = False
+    m.SEP_POS_EMBED = True
+
+    mesh = make_mesh(cfg, devices=jax.devices()[:2])
+    module, params, model_state = build_model_with_state(cfg)
+    scorer = WindowScorer(module, params, mesh, batch_size=2,
+                          model_state=model_state, detection=True)
+    ds = WindowDataset(video, frame_length=4, frame_stride=4,
+                       proposal_stride=64, frame_size=32)
+    preds = scorer.score_video(ds)
+    assert len(preds) == len(ds)
+    assert all(p[2].shape == (5,) for p in preds)
+    assert all(np.isfinite(p[2]).all() for p in preds)
+    # sigmoid head -> scores in (0, 1)
+    assert all((p[2] > 0).all() and (p[2] < 1).all() for p in preds)

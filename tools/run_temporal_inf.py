@@ -48,7 +48,7 @@ def main():
 
     from aicity_action_tpu.config import get_cfg, assert_and_infer_cfg
     from aicity_action_tpu.engine.steps import TrainState
-    from aicity_action_tpu.models.build import build_model
+    from aicity_action_tpu.models.build import build_model_with_state
     from aicity_action_tpu.parallel.mesh import make_mesh
     from aicity_action_tpu.pipeline.window_inference import (
         WindowDataset, WindowScorer, save_window_predictions,
@@ -69,13 +69,19 @@ def main():
     logger = get_logger(__name__)
 
     mesh = make_mesh(cfg)
-    module, params = build_model(cfg)
-    state = TrainState.create(params, optax.identity())
+    # build WITH variable collections: BN-bearing backbones need their
+    # running stats threaded into the scorer (module_wrapper deploys
+    # SlowFast/ResNet the same way); detection checkpoints get whole-frame
+    # boxes synthesized per window (module_wrapper.py:558-576)
+    module, params, model_state = build_model_with_state(cfg)
+    state = TrainState.create(params, optax.identity(), model_state)
     state = cu.load_test_checkpoint(cfg, state)
 
     scorer = WindowScorer(module, state.params, mesh,
                           batch_size=args.batch_size,
-                          num_workers=args.num_workers)
+                          num_workers=args.num_workers,
+                          model_state=state.model_state,
+                          detection=cfg.DETECTION.ENABLE)
     os.makedirs(args.out_dir, exist_ok=True)
 
     n_path = 2 if cfg.MODEL.ARCH in cfg.MODEL.MULTI_PATHWAY_ARCH else 1
