@@ -530,16 +530,184 @@ def _ln_mlp_bwd_impl(x2, gamma, beta, w1, b1, w2, g, eps):
             db2.reshape(C).astype(w2.dtype))
 
 
+def _ln_mlp_bwd_hsplit_kernel(x_ref, g_ref, gam_ref, bet_ref, w1_ref,
+                              b1_ref, w2_ref, dxnp_ref, dw1_ref,
+                              dw2_ref, db1_ref, db2_ref, *, eps):
+    """H-sliced variant for blocks whose full weight set busts VMEM
+    (D=768/H=3072: 6·(D·H+H·C) ≈ 28 MB vs the ~12 MB budget).
+
+    Grid is ``(n_h, n_m)`` — h slow, m fast — so each h-slice's dW/db
+    blocks stay VMEM-resident across the whole m sweep and are written to
+    HBM once per slice. ``dxn`` contributions are emitted as per-slice f32
+    partials ``[n_h, M, D]`` (each block written exactly once — no output
+    revisiting); the LN backward runs in a cheap XLA epilogue over their
+    sum. At this stage's small q-pooled M the partials are ~80 MB of HBM
+    traffic — noise next to the matmul time."""
+    h = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref[:])
+        dw2_ref[:] = jnp.zeros_like(dw2_ref[:])
+        db1_ref[:] = jnp.zeros_like(db1_ref[:])
+
+    @pl.when(jnp.logical_and(h == 0, i == 0))
+    def _():
+        db2_ref[:] = jnp.zeros_like(db2_ref[:])
+
+    dt = x_ref.dtype
+    x = x_ref[:].astype(jnp.float32)
+    gam = gam_ref[0].astype(jnp.float32)
+    bet = bet_ref[0].astype(jnp.float32)
+
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    xn = (xhat * gam + bet).astype(dt)
+
+    h_pre = jax.lax.dot_general(
+        xn, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0].astype(jnp.float32)
+    hact = _gelu_f32(h_pre).astype(dt)
+
+    g_out = g_ref[:]
+    gf = g_out.astype(jnp.float32)
+
+    @pl.when(h == 0)
+    def _():
+        db2_ref[:] += gf.sum(axis=0, keepdims=True)
+
+    dw2_ref[:] += jax.lax.dot_general(
+        hact, g_out, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh = jax.lax.dot_general(
+        g_out, w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh_pre = dh * _gelu_grad_f32(h_pre)
+    db1_ref[:] += dh_pre.sum(axis=0, keepdims=True)
+    dhp = dh_pre.astype(dt)
+    dw1_ref[:] += jax.lax.dot_general(
+        xn, dhp, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dxnp_ref[0] = jax.lax.dot_general(
+        dhp, w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _hsplit_plan(m: int, d: int, h: int, c_out: int):
+    """Pick (h_slice, row_tile) so bf16 weights + f32 accumulators for one
+    slice plus the row tiles fit a ~10 MB scoped-VMEM stack. Returns None
+    when no layout fits."""
+    for hs in (1024, 768, 512, 384, 256):
+        if h % hs:
+            continue
+        if 6 * (d * hs + hs * c_out) > 7 * 1024 * 1024:
+            continue
+        # row tiles: two f32 [tm, hs] (h_pre, dh) + f32 dxn [tm, d]
+        cap = max(8, (2_500_000 // ((2 * hs + d) * 4)) // 8 * 8)
+        tm = _pick_rows(m, min(1024, cap))
+        if tm is not None:
+            return hs, tm
+    return None
+
+
+def ln_mlp_bwd_hsplit_supported(m: int, d: int, h: int, c_out: int) -> bool:
+    return _hsplit_plan(m, d, h, c_out) is not None
+
+
+def _ln_mlp_bwd_hsplit_impl(x2, gamma, beta, w1, b1, w2, g, eps):
+    M, D = x2.shape
+    H = w1.shape[1]
+    C = w2.shape[1]
+    hs, tm = _hsplit_plan(M, D, H, C)
+    n_h = H // hs
+    row = pl.BlockSpec((tm, D), lambda h, i: (i, 0), memory_space=pltpu.VMEM)
+    grow = pl.BlockSpec((tm, C), lambda h, i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    vec = lambda n: pl.BlockSpec((1, n), lambda h, i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    hvec = lambda n: pl.BlockSpec((1, n), lambda h, i: (0, h),
+                                  memory_space=pltpu.VMEM)
+    dxnp, dw1, dw2, db1, db2 = pl.pallas_call(
+        functools.partial(_ln_mlp_bwd_hsplit_kernel, eps=eps),
+        grid=(n_h, M // tm),
+        in_specs=[
+            row, grow, vec(D), vec(D),
+            pl.BlockSpec((D, hs), lambda h, i: (0, h),
+                         memory_space=pltpu.VMEM),
+            hvec(hs),
+            pl.BlockSpec((hs, C), lambda h, i: (h, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tm, D), lambda h, i: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, hs), lambda h, i: (0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hs, C), lambda h, i: (h, 0),
+                         memory_space=pltpu.VMEM),
+            hvec(hs), vec(C),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_h, M, D), jnp.float32),  # dxn partials
+            jax.ShapeDtypeStruct((D, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * M * (D * H + H * C),
+            bytes_accessed=2 * M * (2 * D + C) * n_h + (D * H + H * C) * 6,
+            transcendentals=2 * M * H,
+        ),
+        interpret=_fa.INTERPRET,
+    )(x2, g, gamma.reshape(1, D), beta.reshape(1, D), w1,
+      b1.reshape(1, H), w2)
+
+    # LN backward epilogue (XLA): elementwise + row means over [M, D]
+    dxn = dxnp.sum(axis=0)
+    xf = x2.astype(jnp.float32)
+    gam = gamma.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    dgam = (dxn * xhat).sum(axis=0)
+    dbet = dxn.sum(axis=0)
+    dxhat = dxn * gam
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = (rstd * (dxhat - m1 - xhat * m2)).astype(x2.dtype)
+
+    wdt = w1.dtype
+    return (dx, dgam.astype(gamma.dtype),
+            dbet.astype(beta.dtype), dw1.astype(wdt),
+            db1.reshape(H).astype(b1.dtype), dw2.astype(w2.dtype),
+            db2.reshape(C).astype(w2.dtype))
+
+
 def _ln_mlp_bwd(eps, res, g):
     x2, gamma, beta, w1, b1, w2, b2 = res
     M, D = x2.shape
     H = w1.shape[1]
     C = w2.shape[1]
-    if not (_fa.is_disabled() or not ln_mlp_bwd_supported(M, D, H, C)):
-        db2_dt = b2.dtype
-        out = _ln_mlp_bwd_impl(x2, gamma, beta, w1, b1, w2, g, eps)
-        dx, dgam, dbet, dw1, db1, dw2, db2 = out
-        return dx, dgam, dbet, dw1, db1, dw2, db2.astype(db2_dt)
+    if not _fa.is_disabled():
+        if ln_mlp_bwd_supported(M, D, H, C):
+            db2_dt = b2.dtype
+            out = _ln_mlp_bwd_impl(x2, gamma, beta, w1, b1, w2, g, eps)
+            dx, dgam, dbet, dw1, db1, dw2, db2 = out
+            return dx, dgam, dbet, dw1, db1, dw2, db2.astype(db2_dt)
+        if ln_mlp_bwd_hsplit_supported(M, D, H, C):
+            db2_dt = b2.dtype
+            out = _ln_mlp_bwd_hsplit_impl(x2, gamma, beta, w1, b1, w2, g,
+                                          eps)
+            dx, dgam, dbet, dw1, db1, dw2, db2 = out
+            return dx, dgam, dbet, dw1, db1, dw2, db2.astype(db2_dt)
     _, vjp = jax.vjp(
         lambda *a: _ref_ln_mlp(*a, eps), x2, gamma, beta, w1, b1, w2, b2)
     return vjp(g)

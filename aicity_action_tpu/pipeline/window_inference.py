@@ -19,7 +19,9 @@ pickle payload the reference writes (run_action_...py:110-130).
 
 from __future__ import annotations
 
+import os
 import pickle
+import sys
 from typing import Optional, Sequence
 
 import cv2
@@ -155,14 +157,19 @@ class WindowDataset:
         return inputs, t0, t1  # loader collates (inputs, label, index, meta)
 
 
-    def stream_chunks(self, chunk_frames: int):
+    def stream_chunks(self, chunk_frames: int, rgb: bool = True):
         """Sequential decode → ROI-crop+resize into ``[chunk_frames, s, s,
         3]`` uint8 slabs; each source frame is decoded and resized exactly
         once. INFINITE generator: after EOF it yields repeat-last-frame
         padding chunks forever (consumers pull exactly the chunks their
         window plan needs). Bulk 16-frame copies fill a preallocated slab —
         per-frame ``np.stack`` assembly measured ~1.3 s per 512-frame chunk
-        on the 1-core host."""
+        on the 1-core host.
+
+        ``rgb=False`` skips the per-frame BGR→RGB conversion (~0.7 ms/frame
+        on the 1-core host = ~13 s per 10-min video); the consumer must
+        handle BGR channel order (the device-gather scorer folds the swap
+        into the patch-embed weights for free)."""
         from .. import native
 
         s = self.frame_size
@@ -192,13 +199,14 @@ class WindowDataset:
                     if not ok:
                         eof = True
                         break
-                    rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                    if rgb:
+                        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
                     if self._roi_px is None:
-                        h, w = rgb.shape[:2]
+                        h, w = frame.shape[:2]
                         x1, y1, x2, y2 = self.roi
                         self._roi_px = (int(w * x1), int(h * y1),
                                         int(w * x2), int(h * y2))
-                    batch.append(rgb)
+                    batch.append(frame)
                 if batch:
                     u8 = resized(np.stack(batch))
                     batch = []
@@ -372,6 +380,29 @@ class WindowScorer:
             )
         self._jax = jax
 
+    def _bgr_variables(self):
+        """Variables with the patch-embed kernel's input-channel axis
+        reversed, so host frames can stay BGR (no per-frame cvtColor).
+        Mathematically identical: the first conv is the only consumer of
+        the channel order. Falls back to (variables, False) for models
+        without a ``patch_embed`` conv."""
+        if getattr(self, "_bgr_vars", None) is not None:
+            return self._bgr_vars
+        import jax.numpy as jnp
+
+        params = self._variables.get("params", {})
+        pe = params.get("patch_embed")
+        if not (isinstance(pe, dict) and "kernel" in pe
+                and pe["kernel"].ndim == 5 and pe["kernel"].shape[3] == 3):
+            self._bgr_vars = (self._variables, False)
+            return self._bgr_vars
+        v = dict(self._variables)
+        v["params"] = {**params,
+                       "patch_embed": {**pe,
+                                       "kernel": jnp.flip(pe["kernel"], 3)}}
+        self._bgr_vars = (v, True)
+        return self._bgr_vars
+
     def _whole_frame_boxes(self, n: int, size: int) -> np.ndarray:
         """One full-frame ``[batch_idx, 0, 0, W, H]`` box per window
         (module_wrapper.py:558-576 — equivalent to mean-pooling HW)."""
@@ -429,8 +460,7 @@ class WindowScorer:
         span = max(int(p[2][-1]) - int(p[2][0]) for p in plans) + 1
         F = self.chunk_frames
         TAIL = span
-        mean = jnp.asarray(dataset.mean, jnp.float32)
-        std = jnp.asarray(dataset.std, jnp.float32)
+        assert TAIL <= F, (TAIL, F)
         module = self._module
 
         by_chunk: dict[int, list[int]] = {}
@@ -445,26 +475,61 @@ class WindowScorer:
         n_data = int(self.mesh.shape[self.mesh.axis_names[0]])
         nw = -(-self.windows_per_call // n_data) * n_data
 
-        def score_fn(v, buf, idx):
-            # buf [TAIL+F, s, s, 3] u8 (replicated); idx [nw, T] (sharded)
+        # host frames stay BGR (skips 18k cvtColor calls on the 1-core
+        # host); the swap is folded into the model for free by reversing
+        # the patch-embed kernel's input-channel axis and the mean/std
+        variables, bgr = self._bgr_variables()
+        mean = jnp.asarray(
+            dataset.mean[::-1] if bgr else dataset.mean, jnp.float32)
+        std = jnp.asarray(
+            dataset.std[::-1] if bgr else dataset.std, jnp.float32)
+
+        def score_fn(v, prev_chunk, chunk, idx):
+            # chunks [F, s, s, 3] u8 (replicated); idx [nw, T] (sharded).
+            # The cross-chunk tail is assembled INSIDE jit: an eager
+            # concat/slice costs a full RPC round trip per chunk on a
+            # tunneled device (measured ~1 s/chunk)
+            buf = jnp.concatenate([prev_chunk[F - TAIL:], chunk], 0)
             x = buf[idx]
             x = (x.astype(jnp.float32) / 255.0 - mean) / std
             return module.apply(v, [x], train=False)
 
         fn = jax.jit(score_fn)
 
-        gen = dataset.stream_chunks(F)  # infinite: pads past EOF
+        import queue as _queue
+        import threading
+        import time as _time
+
+        timers = {"decode": 0.0, "upload": 0.0, "dispatch": 0.0,
+                  "drain": 0.0}
+
+        # decode runs ahead in a worker thread (depth-2 queue): cv2/FFmpeg
+        # releases the GIL during decode, so it overlaps the upload's
+        # network sends and the device compute
+        gen = dataset.stream_chunks(F, rgb=not bgr)  # infinite: pads at EOF
+        q: _queue.Queue = _queue.Queue(maxsize=2)
+
+        def _decoder():
+            for _ in range(n_chunks):
+                t = _time.time()
+                chunk = next(gen)
+                timers["decode"] += _time.time() - t
+                q.put(chunk)
+
+        th = threading.Thread(target=_decoder, daemon=True)
+        th.start()
         pending = []
         with self.mesh:
-            prev_tail = jax.device_put(
-                np.zeros((TAIL, s, s, 3), np.uint8), self._repl)
+            prev_chunk = jax.device_put(
+                np.zeros((F, s, s, 3), np.uint8), self._repl)
             for c in range(n_chunks):
-                chunk = next(gen)
-                buf = jnp.concatenate(
-                    [prev_tail, jax.device_put(chunk, self._repl)], 0)
-                prev_tail = buf[F:]
+                chunk = q.get()
+                t = _time.time()
+                dev_chunk = jax.device_put(chunk, self._repl)
+                timers["upload"] += _time.time() - t
                 base = c * F
                 ws = by_chunk.get(c, [])
+                t = _time.time()
                 for i in range(0, max(len(ws), 1), nw):
                     grp = ws[i:i + nw]
                     if not grp:
@@ -472,14 +537,22 @@ class WindowScorer:
                     idx = np.zeros((nw, T), np.int32)
                     for r, w in enumerate(grp):
                         idx[r] = plans[w][2] - base + TAIL
-                    out = fn(self._variables, buf,
+                    out = fn(variables, prev_chunk, dev_chunk,
                              jax.device_put(idx, self._b_sh))
                     pending.append(
                         (out, [(plans[w][0], plans[w][1]) for w in grp]))
+                timers["dispatch"] += _time.time() - t
+                prev_chunk = dev_chunk
             # one stacked fetch: per-batch device_get is one round trip EACH
+            t = _time.time()
             arrs = np.asarray(
                 jax.device_get(jnp.stack([o for o, _ in pending])),
                 np.float32)
+            timers["drain"] += _time.time() - t
+        if os.environ.get("WINDOW_SCORER_TIMINGS"):
+            print(f"# window_scorer timings: "
+                  f"{ {k: round(v, 1) for k, v in timers.items()} }",
+                  file=sys.stderr)
         preds = []
         for arr, (_, spans) in zip(arrs, pending):
             for b, (t0, t1) in enumerate(spans):

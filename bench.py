@@ -72,6 +72,49 @@ def _clip_throughput(module, params, cfg):
     return clips_per_sec, flops_per_clip
 
 
+def _train_ms_per_step(cfg):
+    """Full train step (fwd+bwd+adamw update) @448 bs4 with mixup — the
+    round-2 ledger protocol (docs/DESIGN.md §11): sequential donated steps,
+    completion observed by materializing the loss scalar."""
+    import jax
+    import jax.numpy as jnp
+
+    from aicity_action_tpu.data.mixup import build_mixup_from_cfg
+    from aicity_action_tpu.engine.steps import TrainState, make_train_step
+    from aicity_action_tpu.models.build import build_model
+    from aicity_action_tpu.solver.optimizer import construct_optimizer
+
+    tcfg = cfg.clone()
+    tcfg.MODEL.ACT_CHECKPOINT = True
+    tcfg.MIXUP.ENABLE = True
+    module, params = build_model(tcfg)
+    tx, _ = construct_optimizer(tcfg, params, steps_per_epoch=100)
+    state = TrainState.create(params, tx)
+    step = jax.jit(
+        make_train_step(module, tx, tcfg.MODEL.LOSS_FUNC,
+                        mixup_fn=build_mixup_from_cfg(tcfg),
+                        num_classes=tcfg.MODEL.NUM_CLASSES),
+        donate_argnums=0)
+    B = 4
+    batch = {
+        "inputs": [jnp.asarray(
+            np.random.RandomState(0).randn(B, 16, CROP, CROP, 3),
+            jnp.bfloat16)],
+        "labels": jnp.asarray(np.arange(B) % 18),
+    }
+    rng = jax.random.PRNGKey(0)
+    s = state
+    for _ in range(2):  # compile + settle
+        s, m, _ = step(s, batch, rng)
+    _ = float(np.asarray(m["loss"]))
+    n = 10
+    t0 = time.time()
+    for _ in range(n):
+        s, m, _ = step(s, batch, rng)
+    _ = float(np.asarray(m["loss"]))
+    return (time.time() - t0) / n * 1000.0
+
+
 def _p50_video(module, params, minutes: float):
     """One synthetic A2-length 540p video through the streaming scorer."""
     import cv2
@@ -129,6 +172,13 @@ def main():
     mfu = (flops_per_clip * clips_per_sec / TPU_PEAK_FLOPS
            if np.isfinite(flops_per_clip) else None)
 
+    train_ms = None
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        try:
+            train_ms = _train_ms_per_step(cfg)
+        except Exception as e:  # train metric must not sink the headline
+            print(f"# train metric failed: {e}", file=sys.stderr)
+
     p50_video_s = n_windows = None
     if VIDEO_MIN > 0:
         try:
@@ -151,6 +201,9 @@ def main():
                              if np.isfinite(flops_per_clip) else None),
         "a100_est_clips_per_sec": round(a100_est, 1),
     }
+    if train_ms is not None:
+        out["train_ms_per_step"] = round(train_ms, 1)
+        out["train_clips_per_sec"] = round(4 / (train_ms / 1000.0), 1)
     if p50_video_s is not None:
         out["p50_video_s"] = round(p50_video_s, 1)
         out["video_minutes"] = VIDEO_MIN

@@ -246,15 +246,56 @@ class TestFusedDense:
         from aicity_action_tpu.ops.pallas.fused_dense import (
             ln_mlp_bwd_supported, ln_qkv_bwd_supported)
 
+        from aicity_action_tpu.ops.pallas.fused_dense import (
+            ln_mlp_bwd_hsplit_supported)
+
         B = 4
         stages = [(100352, 96), (25088, 192), (6272, 384), (1568, 768)]
         for L, D in stages:
             assert ln_qkv_bwd_supported(B * L, D, 3 * D), (L, D)
-        for L, D in stages[:-1]:  # D=768 MLP legitimately falls back
+        for L, D in stages[:-1]:
             assert ln_mlp_bwd_supported(B * L, D, 4 * D, D), (L, D)
+        # the D=768 MLP busts the single-pass VMEM budget but must be
+        # covered by the H-sliced kernel
+        L, D = stages[-1]
+        assert not ln_mlp_bwd_supported(B * L, D, 4 * D, D)
+        assert ln_mlp_bwd_hsplit_supported(B * L, D, 4 * D, D)
+        # ... at 224-crop bs8 too (8 * 392 rows)
+        assert ln_mlp_bwd_hsplit_supported(8 * 392, D, 4 * D, D)
         # stage-transition qkv (dim doubles)
         for L, D in stages[:-1]:
             assert ln_qkv_bwd_supported(B * L, D, 6 * D), (L, D)
+
+    def test_ln_mlp_hsplit_grad(self):
+        """H-sliced MLP backward (the D=768/H=3072 stage) vs the jnp
+        reference vjp, at the real channel shapes with a reduced row
+        count (interpret mode)."""
+        from aicity_action_tpu.ops.pallas import flash_attention as fa
+        from aicity_action_tpu.ops.pallas.fused_dense import (
+            _hsplit_plan, _ref_ln_mlp, fused_ln_mlp, ln_mlp_bwd_supported)
+
+        rng = np.random.RandomState(2)
+        M, D, H, C = 448, 768, 3072, 768
+        assert not ln_mlp_bwd_supported(M, D, H, C)
+        assert _hsplit_plan(M, D, H, C) is not None
+        args = [
+            jnp.asarray(rng.randn(*s).astype(np.float32)) * 0.3
+            for s in [(M, D), (D,), (D,), (D, H), (H,), (H, C), (C,)]
+        ]
+        old = fa.INTERPRET
+        fa.INTERPRET = True
+        try:
+            g = jax.grad(lambda *a: fused_ln_mlp(*a, 1e-6).sum(),
+                         argnums=tuple(range(7)))(*args)
+        finally:
+            fa.INTERPRET = old
+        gw = jax.grad(lambda *a: _ref_ln_mlp(*a, 1e-6).sum(),
+                      argnums=tuple(range(7)))(*args)
+        for a, e in zip(g, gw):
+            scale = max(1.0, float(np.abs(np.asarray(e)).max()))
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(e) / scale,
+                rtol=2e-4, atol=2e-4)
 
     def test_ln_mlp_and_grad(self):
         from aicity_action_tpu.ops.pallas import flash_attention as fa
