@@ -27,14 +27,16 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def halo_exchange_h(x: jax.Array, axis_name: str, halo: int = 1):
+def halo_exchange_h(x: jax.Array, axis_name: str, halo: int = 1,
+                    fill_value: float = 0.0):
     """Exchange ``halo`` boundary rows of the H-sharded volume.
 
     Args:
       x: local shard ``[B, T, H_local, W, C]``.
       axis_name: mesh axis the H dim is sharded over.
-    Returns ``(top, bottom)`` neighbor rows, each ``[B, T, halo, W, C]``
-    (zeros at the grid edges — matching the conv's zero padding).
+      fill_value: value at the grid edges — 0 matches a conv's zero
+        padding, ``-inf`` matches max-pool padding semantics.
+    Returns ``(top, bottom)`` neighbor rows, each ``[B, T, halo, W, C]``.
     """
     n = lax.psum(1, axis_name)
     idx = lax.axis_index(axis_name)
@@ -46,10 +48,62 @@ def halo_exchange_h(x: jax.Array, axis_name: str, halo: int = 1):
         bot_rows, axis_name, [(i, (i + 1) % n) for i in range(n)])
     from_below = lax.ppermute(
         top_rows, axis_name, [(i, (i - 1) % n) for i in range(n)])
-    zero = jnp.zeros_like(top_rows)
-    from_above = jnp.where(idx == 0, zero, from_above)
-    from_below = jnp.where(idx == n - 1, zero, from_below)
+    edge = jnp.full_like(top_rows, fill_value)
+    from_above = jnp.where(idx == 0, edge, from_above)
+    from_below = jnp.where(idx == n - 1, edge, from_below)
     return from_above, from_below
+
+
+def sp_pool_volume(x: jax.Array, axis_name: str | None, *, mode: str,
+                   kernel, stride, conv_weights=None):
+    """H-sharded pooling of a ``[B, T, H_local, W, C]`` volume — the SP
+    form of ``ops.pooling.attention_pool``'s core (conv / max / avg with
+    padding ``k // 2``).
+
+    The H-axis padding comes from a ``kh // 2``-row halo exchange (zeros
+    for conv, ``-inf`` for max, matching the dense op's edge semantics);
+    T and W keep ordinary padding. Requires ``H_local % stride_h == 0``
+    (shard boundaries aligned with pooling windows — identical results to
+    the unsharded op). ``axis_name=None`` degrades to the dense op (used
+    for the post-gather tail blocks).
+    """
+    kt, kh, kw = (int(v) for v in kernel)
+    st, sh, sw = (int(v) for v in stride)
+    if axis_name is None:
+        from ..ops.pooling import depthwise_conv3d, pool3d
+
+        pad = (kt // 2, kh // 2, kw // 2)
+        if mode == "conv":
+            return depthwise_conv3d(x, conv_weights, (st, sh, sw), pad)
+        return pool3d(x, mode, (kt, kh, kw), (st, sh, sw), pad)
+
+    assert x.shape[2] % sh == 0, (x.shape, sh)
+    halo = kh // 2
+    if halo:
+        fill = -jnp.inf if mode == "max" else 0.0
+        above, below = halo_exchange_h(x, axis_name, halo, fill_value=fill)
+        xh = jnp.concatenate([above, x, below], axis=2)
+    else:
+        xh = x
+    if mode == "conv":
+        return lax.conv_general_dilated(
+            xh, conv_weights,
+            window_strides=(st, sh, sw),
+            padding=[(kt // 2, kt // 2), (0, 0), (kw // 2, kw // 2)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=x.shape[-1],
+        )
+    assert mode in ("max", "avg"), mode
+    window = (1, kt, kh, kw, 1)
+    strides = (1, st, sh, sw, 1)
+    pads = ((0, 0), (kt // 2, kt // 2), (0, 0), (kw // 2, kw // 2), (0, 0))
+    if mode == "max":
+        return lax.reduce_window(xh, -jnp.inf, lax.max, window, strides,
+                                 pads)
+    import math as _math
+
+    summed = lax.reduce_window(xh, 0.0, lax.add, window, strides, pads)
+    return summed / _math.prod((kt, kh, kw))
 
 
 def sp_depthwise_pool(x: jax.Array, weights: jax.Array, stride_hw: int,
