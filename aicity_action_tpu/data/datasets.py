@@ -132,9 +132,16 @@ class VideoCsvDataset:
                     frames = decoder._cv2_decode_indices(
                         path, np.asarray(idxs))
                 else:
+                    # multigrid long cycle: when T is reduced, randomly
+                    # stretch the stride so some clips keep the original
+                    # span (reference datasets/utils.py:297-306)
+                    sampling_rate = cfg.DATA.SAMPLING_RATE
+                    lc = cfg.MULTIGRID.LONG_CYCLE_SAMPLING_RATE
+                    if lc > 0 and self.mode == "train":
+                        sampling_rate = rng.randint(sampling_rate, lc)
                     frames = decoder.decode(
                         path,
-                        cfg.DATA.SAMPLING_RATE,
+                        sampling_rate,
                         cfg.DATA.NUM_FRAMES,
                         clip_idx=temporal_idx,
                         num_clips=cfg.TEST.NUM_ENSEMBLE_VIEWS,

@@ -78,6 +78,20 @@ def train(cfg):
         logger.info("Train with config:")
         logger.info(pprint.pformat(cfg.to_dict()))
 
+    multigrid = None
+    if cfg.MULTIGRID.LONG_CYCLE or cfg.MULTIGRID.SHORT_CYCLE:
+        # long-cycle multigrid driver (upstream slowfast train_net.py's
+        # build_trainer loop; dormant in the aicity fork, train_net.py:649)
+        from ..utils.multigrid import MultigridSchedule
+
+        if cfg.DETECTION.ENABLE or cfg.MODEL.USE_MULTI_HEAD:
+            raise NotImplementedError(
+                "multigrid supports the standard classification path only")
+        multigrid = MultigridSchedule()
+        cfg = multigrid.init_multigrid(cfg)
+        if cfg.MULTIGRID.LONG_CYCLE:
+            cfg, _ = multigrid.update_long_cycle(cfg, cur_epoch=0)
+
     mesh = make_mesh(cfg)
     module, params, model_state = build_model_with_state(cfg)
 
@@ -137,14 +151,17 @@ def train(cfg):
 
     b_sh = batch_sharding(mesh)
     repl = replicated(mesh)
-    if cfg.SOLVER.OPTIMIZING_METHOD.startswith("zero_"):
-        # ZeRO-1: optimizer moments sharded over the data axis
-        # (reference zero_sgd/zero_adamw, optimizer.py:142-155,189-199)
-        from ..parallel.tp import zero1_state_shardings
 
-        state = jax.device_put(state, zero1_state_shardings(mesh, state))
-    else:
-        state = jax.device_put(state, repl)
+    def place_state(s):
+        if cfg.SOLVER.OPTIMIZING_METHOD.startswith("zero_"):
+            # ZeRO-1: optimizer moments sharded over the data axis
+            # (reference zero_sgd/zero_adamw, optimizer.py:142-155,189-199)
+            from ..parallel.tp import zero1_state_shardings
+
+            return jax.device_put(s, zero1_state_shardings(mesh, s))
+        return jax.device_put(s, repl)
+
+    state = place_state(state)
     rng = jax.device_put(jax.random.PRNGKey(cfg.RNG_SEED), repl)
 
     train_meter = TrainMeter(steps_per_epoch, cfg)
@@ -177,12 +194,21 @@ def train(cfg):
     if cfg.TRAIN.EVAL_FIRST:
         if multihead:
             eval_epoch_multihead(cfg, mesh, jitted_eval, state, val_loader,
-                                 val_meter, start_epoch - 1, per_host_batch)
+                                 val_meter, start_epoch - 1,
+                                 val_loader.batch_size)
         else:
             eval_epoch(cfg, mesh, jitted_eval, state, val_loader, val_meter,
-                       start_epoch - 1, per_host_batch)
+                       start_epoch - 1, val_loader.batch_size)
 
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
+        if multigrid is not None and cfg.MULTIGRID.LONG_CYCLE:
+            cfg, changed = multigrid.update_long_cycle(cfg, cur_epoch)
+            if changed:
+                (module, state, train_loader, steps_per_epoch, lr_schedule,
+                 mixup_fn, jitted_train, jitted_eval) = _long_cycle_rebuild(
+                    cfg, state, place_state)
+                per_host_batch = train_loader.batch_size
+                train_meter = TrainMeter(steps_per_epoch, cfg)
         shuffle_dataset(train_loader, cur_epoch)
         epoch_timer.epoch_tic()
         train_meter.iter_tic()
@@ -296,19 +322,70 @@ def train(cfg):
         if is_eval:
             if detection:
                 eval_epoch_detection(cfg, mesh, jitted_eval, state,
-                                     val_loader, cur_epoch, per_host_batch)
+                                     val_loader, cur_epoch,
+                                     val_loader.batch_size)
             elif multihead:
                 eval_epoch_multihead(cfg, mesh, jitted_eval, state,
                                      val_loader, val_meter, cur_epoch,
-                                     per_host_batch)
+                                     val_loader.batch_size)
             else:
                 eval_epoch(cfg, mesh, jitted_eval, state, val_loader,
-                           val_meter, cur_epoch, per_host_batch)
+                           val_meter, cur_epoch, val_loader.batch_size)
 
     if writer is not None:
         writer.close()
     logger.info("Training done.")
     return state
+
+
+def _long_cycle_rebuild(cfg, old_state, place_state):
+    """Rebuild the epoch machinery after a long-cycle base-shape change.
+
+    TPU-native equivalent of upstream slowfast's ``build_trainer``
+    (tools/train_net.py, multigrid branch): new loader/optimizer/step for
+    the new (B, T, S); the MODEL WEIGHTS carry over from the running state
+    (the reference round-trips them through the last checkpoint). When the
+    BN norm type flips (batchnorm <-> sub_batchnorm) the param trees can
+    differ in BN-stat shapes, so the transfer goes through the
+    shape-matched merge with normal->sub broadcast; sub->normal falls back
+    to fresh stats, which the next precise-BN pass recomputes.
+    Optimizer moments restart (new tx over a possibly different tree); the
+    global step carries over so the stretched LR schedule stays monotone.
+    """
+    from ..utils.convert import merge_with_model_params
+
+    module, params, model_state = build_model_with_state(cfg)
+    old_params = jax.device_get(old_state.params)
+    old_ms = jax.device_get(old_state.model_state)
+    if jax.tree.structure(params) == jax.tree.structure(old_params):
+        params = old_params
+    else:
+        params, loaded, _, _ = merge_with_model_params(old_params, params)
+        logger.info("long-cycle param transfer: %d kept", len(loaded))
+    if isinstance(old_ms, dict) and old_ms.get("batch_stats") \
+            and model_state.get("batch_stats"):
+        bs, _, _, _ = merge_with_model_params(
+            old_ms["batch_stats"], model_state["batch_stats"],
+            broadcast_leading=True)
+        model_state = dict(model_state)
+        model_state["batch_stats"] = bs
+
+    train_loader = construct_loader(cfg, "train")
+    steps_per_epoch = max(len(train_loader), 1)
+    tx, lr_schedule = construct_optimizer(cfg, params, steps_per_epoch)
+    state = TrainState.create(params, tx, model_state)
+    state = state.replace(step=jax.device_get(old_state.step))
+    state = place_state(state)
+
+    mixup_fn = build_mixup_from_cfg(cfg)
+    train_step = make_train_step(
+        module, tx, cfg.MODEL.LOSS_FUNC, mixup_fn=mixup_fn,
+        gather_before_loss=cfg.TRAIN.GATHER_BEFORE_LOSS,
+        num_classes=cfg.MODEL.NUM_CLASSES,
+    )
+    return (module, state, train_loader, steps_per_epoch, lr_schedule,
+            mixup_fn, jax.jit(train_step, donate_argnums=0),
+            jax.jit(make_eval_step(module)))
 
 
 def eval_epoch_detection(cfg, mesh, jitted_eval, state, val_loader,
