@@ -389,12 +389,67 @@ def _flash_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         preferred_element_type=jnp.float32)
 
 
+def _flash_dqkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                       dq_ref, dk_ref, dv_ref, *, scale):
+    """Merged backward for the whole-K/V-in-VMEM regime (every pooled-KV
+    MViT shape: Lk <= 1568). Grid (G, q_tiles): dq is written per step
+    while dk/dv accumulate in resident f32 output blocks — the logits
+    matmul and softmax recompute happen ONCE per (q, k) pair instead of
+    once in each of the split dq / dkv kernels (5 MXU dots per pair
+    instead of 7, one exp instead of two)."""
+    i = pl.program_id(1)
+    dt = q_ref.dtype
+    k = k_ref[0]
+    v = v_ref[0]
+    # q*scale serves the logits AND the dk dot; k*scale serves the dq dot
+    # (d s/d q = scale*k, d s/d k = scale*q)
+    q = q_ref[0] * jnp.asarray(scale, dt)
+    g = g_ref[0]
+    lse = lse_ref[0, 0, 0][:, None]
+    delta = delta_ref[0, 0, 0][:, None]
+
+    @pl.when(i == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    p = jnp.exp(s - lse)
+    dv_ref[0] += jax.lax.dot_general(
+        p.astype(dt), g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta)).astype(dt)
+    dk_ref[0] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k * jnp.asarray(scale, dt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+
+
 # independent VMEM budgets for the backward kernels' f32 logits tiles —
 # the fwd's lse arrives tiled by the FORWARD's q tile, but flattening
 # [G, nq, 1, TQ] -> [G, Lq] is a layout-preserving (free) reshape, so the
 # backward re-tiles lse/delta to its own choice
 _BWD_DQ_BUDGET = 3_300_000
 _BWD_DKV_BUDGET = 3_300_000
+# merged-kernel: two f32 [q_tile, Lk] buffers (p and dp) live at once
+_BWD_FUSED_BUDGET = 2_500_000
+
+
+def _bwd_fused_tile(Lq, Lk, d, dtype_bytes=2):
+    """q tile for the merged dq/dk/dv kernel, or None if K/V + accumulators
+    don't comfortably fit in VMEM."""
+    kv_resident = 2 * Lk * d * dtype_bytes + 2 * Lk * d * 4
+    if kv_resident > 4 * 1024 * 1024:
+        return None
+    q_cap = max(8, (_BWD_FUSED_BUDGET // (4 * Lk)) // 8 * 8)
+    return _pick_tile(Lq, _Q_TILES, q_cap)
 
 
 def _bwd_dq_tiles(Lq, Lk):
@@ -413,10 +468,35 @@ def _flash_bwd(scale, res, g):
     q, k, v, out, lse = res
     G, Lq, d = q.shape
     Lk = k.shape[1]
-    q_tile, k_chunk = _bwd_dq_tiles(Lq, Lk)
     # delta = rowsum(dO * O), precomputed in XLA (cheap elementwise)
     delta_flat = (g.astype(jnp.float32) * out.astype(jnp.float32)).sum(-1)
     lse_flat = lse.reshape(G, Lq)
+
+    qt = _bwd_fused_tile(Lq, Lk, d)
+    if qt is not None:
+        lse_t = lse_flat.reshape(G, Lq // qt, 1, qt)
+        delta_t = delta_flat.reshape(G, Lq // qt, 1, qt)
+        full_kv = pl.BlockSpec((1, Lk, d), lambda gg, i: (gg, 0, 0),
+                               memory_space=pltpu.VMEM)
+        per_q = pl.BlockSpec((1, qt, d), lambda gg, i: (gg, i, 0),
+                             memory_space=pltpu.VMEM)
+        per_row = pl.BlockSpec((1, 1, 1, qt), lambda gg, i: (gg, i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_flash_dqkv_kernel, scale=scale),
+            grid=(G, Lq // qt),
+            in_specs=[per_q, full_kv, full_kv, per_q, per_row, per_row],
+            out_specs=(per_q, full_kv, full_kv),
+            out_shape=(
+                jax.ShapeDtypeStruct((G, Lq, d), q.dtype),
+                jax.ShapeDtypeStruct((G, Lk, d), jnp.float32),
+                jax.ShapeDtypeStruct((G, Lk, d), jnp.float32),
+            ),
+            interpret=INTERPRET,
+        )(q, k, v, g, lse_t, delta_t)
+        return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+    q_tile, k_chunk = _bwd_dq_tiles(Lq, Lk)
     delta = delta_flat.reshape(G, Lq // q_tile, 1, q_tile)
     lse = lse_flat.reshape(G, Lq // q_tile, 1, q_tile)
 
