@@ -432,6 +432,48 @@ def _flash_dqkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         preferred_element_type=jnp.float32).astype(dq_ref.dtype)
 
 
+def _flash_dqkv_chunked_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref,
+                               delta_ref, dqp_ref, dk_ref, dv_ref, *, scale):
+    """K-chunked merged backward for shapes whose whole K/V does NOT fit
+    VMEM (Lk = 6272 stage-2/3 blocks at 448). Grid (G, k_tiles, q_tiles),
+    q innermost: dk/dv accumulate in resident f32 blocks per (g, k) while
+    dq is emitted as per-k-chunk f32 PARTIALS ``[G, nk, Lq, d]`` summed by
+    XLA afterwards — that extra HBM round-trip (~0.9 ms at the 448 shapes)
+    buys the merged kernel's 5-dots/1-exp per (q, k) pair vs the split
+    kernels' 7-dots/2-exp."""
+    i = pl.program_id(2)
+    dt = q_ref.dtype
+    k = k_ref[0]
+    v = v_ref[0]
+    q = q_ref[0] * jnp.asarray(scale, dt)
+    g = g_ref[0]
+    lse = lse_ref[0, 0, 0][:, None]
+    delta = delta_ref[0, 0, 0][:, None]
+
+    @pl.when(i == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    p = jnp.exp(s - lse)
+    dv_ref[0] += jax.lax.dot_general(
+        p.astype(dt), g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta)).astype(dt)
+    dk_ref[0] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dqp_ref[0, 0] = jax.lax.dot_general(
+        ds, k * jnp.asarray(scale, dt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 # independent VMEM budgets for the backward kernels' f32 logits tiles —
 # the fwd's lse arrives tiled by the FORWARD's q tile, but flattening
 # [G, nq, 1, TQ] -> [G, Lq] is a layout-preserving (free) reshape, so the
@@ -439,17 +481,34 @@ def _flash_dqkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 _BWD_DQ_BUDGET = 3_300_000
 _BWD_DKV_BUDGET = 3_300_000
 # merged-kernel: two f32 [q_tile, Lk] buffers (p and dp) live at once
-_BWD_FUSED_BUDGET = 2_500_000
+_BWD_FUSED_BUDGET = 3_300_000
+# resident K/V (input dtype) + f32 dk/dv accumulator blocks
+_BWD_KV_RESIDENT_CAP = 4 * 1024 * 1024
+# bound the dq-partials HBM round-trip of the chunked merged kernel
+_BWD_CHUNKED_MAX_NK = 8
 
 
 def _bwd_fused_tile(Lq, Lk, d, dtype_bytes=2):
     """q tile for the merged dq/dk/dv kernel, or None if K/V + accumulators
     don't comfortably fit in VMEM."""
     kv_resident = 2 * Lk * d * dtype_bytes + 2 * Lk * d * 4
-    if kv_resident > 4 * 1024 * 1024:
+    if kv_resident > _BWD_KV_RESIDENT_CAP:
         return None
     q_cap = max(8, (_BWD_FUSED_BUDGET // (4 * Lk)) // 8 * 8)
     return _pick_tile(Lq, _Q_TILES, q_cap)
+
+
+def _bwd_chunked_tiles(Lq, Lk, d, dtype_bytes=2):
+    """(k_tile, q_tile) for the k-chunked merged kernel, or None."""
+    kt_cap = _BWD_KV_RESIDENT_CAP // (2 * d * (dtype_bytes + 4))
+    kt = _pick_tile(Lk, _K_TILES, kt_cap)
+    if kt is None or Lk // kt > _BWD_CHUNKED_MAX_NK:
+        return None
+    qt = _pick_tile(Lq, _Q_TILES,
+                    max(8, (_BWD_FUSED_BUDGET // (4 * kt)) // 8 * 8))
+    if qt is None:
+        return None
+    return kt, qt
 
 
 def _bwd_dq_tiles(Lq, Lk):
@@ -494,6 +553,37 @@ def _flash_bwd(scale, res, g):
             ),
             interpret=INTERPRET,
         )(q, k, v, g, lse_t, delta_t)
+        return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+    chunked = _bwd_chunked_tiles(Lq, Lk, d)
+    if chunked is not None:
+        kt, qt = chunked
+        nk = Lk // kt
+        lse_t = lse_flat.reshape(G, Lq // qt, 1, qt)
+        delta_t = delta_flat.reshape(G, Lq // qt, 1, qt)
+        per_kv = pl.BlockSpec((1, kt, d), lambda gg, j, i: (gg, j, 0),
+                              memory_space=pltpu.VMEM)
+        per_q = pl.BlockSpec((1, qt, d), lambda gg, j, i: (gg, i, 0),
+                             memory_space=pltpu.VMEM)
+        per_row = pl.BlockSpec((1, 1, 1, qt), lambda gg, j, i: (gg, i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        dqp, dk, dv = pl.pallas_call(
+            functools.partial(_flash_dqkv_chunked_kernel, scale=scale),
+            grid=(G, nk, Lq // qt),
+            in_specs=[per_q, per_kv, per_kv, per_q, per_row, per_row],
+            out_specs=(
+                pl.BlockSpec((1, 1, qt, d), lambda gg, j, i: (gg, j, i, 0),
+                             memory_space=pltpu.VMEM),
+                per_kv, per_kv,
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((G, nk, Lq, d), jnp.float32),
+                jax.ShapeDtypeStruct((G, Lk, d), jnp.float32),
+                jax.ShapeDtypeStruct((G, Lk, d), jnp.float32),
+            ),
+            interpret=INTERPRET,
+        )(q, k, v, g, lse_t, delta_t)
+        dq = dqp.sum(axis=1).astype(q.dtype)
         return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
     q_tile, k_chunk = _bwd_dq_tiles(Lq, Lk)

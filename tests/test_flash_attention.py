@@ -70,6 +70,33 @@ def test_vjp_matches_reference():
                                    atol=1e-4, rtol=1e-3)
 
 
+def test_vjp_chunked_merged_path(monkeypatch):
+    """Force the k-chunked merged backward (production Lk=6272 regime) by
+    shrinking the KV-residency cap so whole-K/V doesn't 'fit'."""
+    monkeypatch.setattr(fa, "_BWD_KV_RESIDENT_CAP", 16 * 12 * 16)  # Lk>16
+    rs = np.random.RandomState(2)
+    G, Lq, Lk, d = 2, 64, 64, 16
+    assert fa._bwd_fused_tile(Lq, Lk, d) is None
+    chunked = fa._bwd_chunked_tiles(Lq, Lk, d)
+    assert chunked is not None and Lk // chunked[0] > 1, chunked
+    q = jnp.asarray(rs.randn(G, Lq, d), jnp.float32)
+    k = jnp.asarray(rs.randn(G, Lk, d), jnp.float32)
+    v = jnp.asarray(rs.randn(G, Lk, d), jnp.float32)
+    scale = d ** -0.5
+
+    def f_flash(q, k, v):
+        return (fa.flash_attention(q, k, v, scale) ** 2).sum()
+
+    def f_ref(q, k, v):
+        return (_ref(q, k, v, scale) ** 2).sum()
+
+    g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
+
+
 class TestFusedLayerNorm:
     """Pallas grouped LayerNorm vs reference math (interpreter mode)."""
 
