@@ -129,15 +129,43 @@ def _p50_video(module, params, minutes: float):
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "tmp", "bench_cache")
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"a2_{int(minutes * 60)}s.mp4")
+    # v2: content-realistic generator below (filename versioned so a stale
+    # v1 noise-video cache can never be silently reused)
+    path = os.path.join(cache_dir, f"a2_{int(minutes * 60)}s_v2.mp4")
     if not os.path.exists(path):
+        # A2-realistic synthetic content (~3.7 Mbps, matching real 540p
+        # dashcam-class footage): static textured cabin-like background,
+        # slow illumination drift, moving objects, cycled sensor noise.
+        # Through round 2 this was rolled RANDOM NOISE, which mp4v encodes
+        # at 31 Mbps — 6-10x any real camera — inflating the cv2 decode
+        # stage to ~107 s of the 10-min p50 (realistic content: ~21 s).
         tmp = path[:-4] + ".part.mp4"  # VideoWriter needs the .mp4 suffix
         w = cv2.VideoWriter(tmp, cv2.VideoWriter_fourcc(*"mp4v"), fps, size)
         assert w.isOpened()
         rs = np.random.RandomState(0)
-        base = rs.randint(0, 255, (size[1], size[0], 3), np.uint8)
+        W, H = size
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        bg = (40 + 60 * (xx / W) + 40 * (yy / H)).astype(np.float32)
+        bg += cv2.GaussianBlur(
+            rs.randint(-12, 12, (H, W), np.int16).astype(np.float32),
+            (0, 0), 3)
+        bg3 = np.stack([bg * 0.9, bg, bg * 1.1], -1)
+        boxes = [(rs.randint(0, W), rs.randint(0, H), rs.randint(40, 140),
+                  rs.randint(40, 140), rs.randint(60, 255, 3).tolist(),
+                  rs.uniform(-4, 4), rs.uniform(-3, 3)) for _ in range(6)]
+        noise = [rs.randint(-5, 6, (H, W, 3), np.int16) for _ in range(7)]
         for i in range(n_frames):
-            w.write(np.roll(base, 7 * i, axis=1))
+            lum = 1.0 + 0.08 * np.sin(i / 97.0)
+            frame = np.clip(
+                bg3 * lum + noise[i % 7] + noise[(i * 3 + 1) % 7],
+                0, 255).astype(np.uint8)
+            for (x0, y0, bw, bh, color, vx, vy) in boxes:
+                x = int(x0 + vx * i) % W
+                y = int(y0 + vy * i) % H
+                cv2.rectangle(frame, (x, y),
+                              (min(x + bw, W - 1), min(y + bh, H - 1)),
+                              color, -1)
+            w.write(frame)
         w.release()
         os.replace(tmp, path)
 
