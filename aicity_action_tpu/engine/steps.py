@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models import losses as loss_lib
+from ..utils import logging
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -66,6 +67,16 @@ def make_train_step(
         # mixup produces soft targets; plain CE can't consume them
         loss_name = "soft_cross_entropy"
     loss_func = loss_lib.get_loss_func(loss_name)
+    if gather_before_loss:
+        # Not silently ignored: under sharded jit every registered
+        # per-sample loss already reduces over the GLOBAL batch axis, so
+        # the reference's all-gather (train_net.py:142-152) is implicit.
+        # Losses with cross-sample terms live in the contrastive step,
+        # which gathers explicitly. State that, once, at build time.
+        logging.get_logger(__name__).info(
+            "TRAIN.GATHER_BEFORE_LOSS=True: batch-mean losses are already "
+            "global under sharded jit; no extra gather is inserted "
+            "(cross-sample losses are handled by the contrastive step)")
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)

@@ -157,7 +157,8 @@ class WindowDataset:
         return inputs, t0, t1  # loader collates (inputs, label, index, meta)
 
 
-    def stream_chunks(self, chunk_frames: int, rgb: bool = True):
+    def stream_chunks(self, chunk_frames: int, rgb: bool = True,
+                      yuv420: bool = False):
         """Sequential decode → ROI-crop+resize into ``[chunk_frames, s, s,
         3]`` uint8 slabs; each source frame is decoded and resized exactly
         once. INFINITE generator: after EOF it yields repeat-last-frame
@@ -169,12 +170,24 @@ class WindowDataset:
         ``rgb=False`` skips the per-frame BGR→RGB conversion (~0.7 ms/frame
         on the 1-core host = ~13 s per 10-min video); the consumer must
         handle BGR channel order (the device-gather scorer folds the swap
-        into the patch-embed weights for free)."""
+        into the patch-embed weights for free).
+
+        ``yuv420``: pack each resized frame as a planar I420 image
+        ``[s*3//2, s]`` (chunk slab ``[F, s*3//2, s]``) — 1.5 bytes/pixel
+        instead of 3. Source videos are natively 4:2:0, so the subsampled
+        chroma carries the same information the decoder started from; the
+        consumer reconstructs RGB on-device (implies ``rgb`` is ignored:
+        the BGR→I420 conversion consumes the decoder's BGR directly and
+        the device inverse emits RGB, so no host cvtColor is needed)."""
         from .. import native
 
         s = self.frame_size
         F = chunk_frames
-        slab = np.empty((F, s, s, 3), np.uint8)
+        if yuv420:
+            assert s % 2 == 0, "I420 packing needs an even frame size"
+            rgb = False
+        slab = np.empty(
+            (F, s * 3 // 2, s) if yuv420 else (F, s, s, 3), np.uint8)
         fill = 0
         cap = cv2.VideoCapture(self.video_path)
         batch = []
@@ -189,6 +202,11 @@ class WindowDataset:
                 for i in range(stack.shape[0]):
                     u8[i] = cv2.resize(cropped[i], (s, s),
                                        interpolation=cv2.INTER_LINEAR)
+            if yuv420:
+                packed = np.empty((u8.shape[0], s * 3 // 2, s), np.uint8)
+                for i in range(u8.shape[0]):
+                    packed[i] = cv2.cvtColor(u8[i], cv2.COLOR_BGR2YUV_I420)
+                return packed
             return u8
 
         try:
@@ -219,7 +237,7 @@ class WindowDataset:
                     rest = None
                 if fill == F:
                     out = slab
-                    slab = np.empty((F, s, s, 3), np.uint8)
+                    slab = np.empty_like(slab)
                     fill = 0
                     if rest is not None and len(rest):
                         slab[:len(rest)] = rest
@@ -231,7 +249,7 @@ class WindowDataset:
                 slab[fill:] = last
                 yield slab
             while True:  # chunks past EOF: repeat-last padding
-                pad = np.empty((F, s, s, 3), np.uint8)
+                pad = np.empty_like(slab)
                 pad[:] = last if last is not None else 0
                 yield pad
         finally:
@@ -323,6 +341,31 @@ class WindowDataset:
         cap.release()
 
 
+def i420_to_rgb(yuv, s: int):
+    """Planar I420 u8 ``[..., s*3//2, s]`` → RGB f32 ``[..., s, s, 3]`` in
+    [0, 255]. Limited-range BT.601 inverse with nearest chroma upsampling —
+    matches cv2 ``COLOR_YUV2RGB_I420`` to <=1/255 (fit residual 0.5).
+    Runs under jit on the gathered window rows (device side of the 1.5 B/px
+    chunk shipping; see WindowScorer.chroma420)."""
+    import jax.numpy as jnp
+
+    lead = yuv.shape[:-2]
+    h4 = s // 4
+    y = yuv[..., :s, :].astype(jnp.float32) - 16.0
+    u = yuv[..., s:s + h4, :].reshape(
+        *lead, s // 2, s // 2).astype(jnp.float32) - 128.0
+    v = yuv[..., s + h4:, :].reshape(
+        *lead, s // 2, s // 2).astype(jnp.float32) - 128.0
+    u = jnp.repeat(jnp.repeat(u, 2, -2), 2, -1)
+    v = jnp.repeat(jnp.repeat(v, 2, -2), 2, -1)
+    rgb = jnp.stack([
+        1.1644 * y + 1.5960 * v,
+        1.1644 * y - 0.3918 * u - 0.8130 * v,
+        1.1644 * y + 2.0172 * u,
+    ], -1)
+    return jnp.clip(rgb, 0.0, 255.0)
+
+
 class _WindowItemAdapter:
     """Adapts WindowDataset items to the Loader's (inputs, label, index, meta)
     contract, carrying (t0, t1) through label/index."""
@@ -349,7 +392,8 @@ class WindowScorer:
 
     def __init__(self, module, params, mesh, batch_size: int = 8,
                  num_workers: int = 8, chunk_frames: int = 512,
-                 model_state=None, detection: bool = False):
+                 model_state=None, detection: bool = False,
+                 chroma420: bool = True):
         import jax
 
         from ..parallel.mesh import batch_sharding, replicated
@@ -361,6 +405,12 @@ class WindowScorer:
         self.num_workers = num_workers
         self.chunk_frames = chunk_frames
         self.detection = detection
+        # ship gather-path chunks as planar I420 (1.5 B/px vs 3): source
+        # videos are natively 4:2:0, so subsampled chroma is the same
+        # information the decoder started from. Halves host->device bytes —
+        # the dominant cost on bandwidth-limited links. Set False for
+        # bit-exact parity with the host RGB paths.
+        self.chroma420 = chroma420
         # windows scored per device dispatch in the gather path: covers a
         # full chunk at the standard 16-frame proposal stride (+ slack for
         # fps renormalization); fixed so warm-up compiles the real shape
@@ -475,24 +525,42 @@ class WindowScorer:
         n_data = int(self.mesh.shape[self.mesh.axis_names[0]])
         nw = -(-self.windows_per_call // n_data) * n_data
 
-        # host frames stay BGR (skips 18k cvtColor calls on the 1-core
-        # host); the swap is folded into the model for free by reversing
-        # the patch-embed kernel's input-channel axis and the mean/std
-        variables, bgr = self._bgr_variables()
-        mean = jnp.asarray(
-            dataset.mean[::-1] if bgr else dataset.mean, jnp.float32)
-        std = jnp.asarray(
-            dataset.std[::-1] if bgr else dataset.std, jnp.float32)
+        chroma = self.chroma420 and s % 2 == 0
+        if chroma:
+            # chunks ship as planar I420 u8 [F, s*3//2, s] — 1.5 B/px, half
+            # the RGB bytes on the host->device link. The decoder's BGR goes
+            # straight to I420 on the host (no cvtColor pass) and the
+            # device inverse emits RGB directly, so no kernel flip either.
+            variables = self._variables
+            bgr = False
+            mean = jnp.asarray(dataset.mean, jnp.float32)
+            std = jnp.asarray(dataset.std, jnp.float32)
 
-        def score_fn(v, prev_chunk, chunk, idx):
-            # chunks [F, s, s, 3] u8 (replicated); idx [nw, T] (sharded).
-            # The cross-chunk tail is assembled INSIDE jit: an eager
-            # concat/slice costs a full RPC round trip per chunk on a
-            # tunneled device (measured ~1 s/chunk)
-            buf = jnp.concatenate([prev_chunk[F - TAIL:], chunk], 0)
-            x = buf[idx]
-            x = (x.astype(jnp.float32) / 255.0 - mean) / std
-            return module.apply(v, [x], train=False)
+            def score_fn(v, prev_chunk, chunk, idx):
+                # The cross-chunk tail is assembled INSIDE jit: an eager
+                # concat/slice costs a full RPC round trip per chunk on a
+                # tunneled device (measured ~1 s/chunk). Gather u8 rows
+                # first (1.5 B/px), then reconstruct RGB per window.
+                buf = jnp.concatenate([prev_chunk[F - TAIL:], chunk], 0)
+                yuv = buf[idx]                       # [nw, T, s*3//2, s] u8
+                x = (i420_to_rgb(yuv, s) / 255.0 - mean) / std
+                return module.apply(v, [x], train=False)
+        else:
+            # host frames stay BGR (skips 18k cvtColor calls on the 1-core
+            # host); the swap is folded into the model for free by reversing
+            # the patch-embed kernel's input-channel axis and the mean/std
+            variables, bgr = self._bgr_variables()
+            mean = jnp.asarray(
+                dataset.mean[::-1] if bgr else dataset.mean, jnp.float32)
+            std = jnp.asarray(
+                dataset.std[::-1] if bgr else dataset.std, jnp.float32)
+
+            def score_fn(v, prev_chunk, chunk, idx):
+                # chunks [F, s, s, 3] u8 (replicated); idx [nw, T] (sharded)
+                buf = jnp.concatenate([prev_chunk[F - TAIL:], chunk], 0)
+                x = buf[idx]
+                x = (x.astype(jnp.float32) / 255.0 - mean) / std
+                return module.apply(v, [x], train=False)
 
         fn = jax.jit(score_fn)
 
@@ -506,7 +574,8 @@ class WindowScorer:
         # decode runs ahead in a worker thread (depth-2 queue): cv2/FFmpeg
         # releases the GIL during decode, so it overlaps the upload's
         # network sends and the device compute
-        gen = dataset.stream_chunks(F, rgb=not bgr)  # infinite: pads at EOF
+        # infinite generator: pads at EOF
+        gen = dataset.stream_chunks(F, rgb=not bgr, yuv420=chroma)
         q: _queue.Queue = _queue.Queue(maxsize=2)
 
         def _decoder():
@@ -521,7 +590,8 @@ class WindowScorer:
         pending = []
         with self.mesh:
             prev_chunk = jax.device_put(
-                np.zeros((F, s, s, 3), np.uint8), self._repl)
+                np.zeros((F, s * 3 // 2, s) if chroma else (F, s, s, 3),
+                         np.uint8), self._repl)
             for c in range(n_chunks):
                 chunk = q.get()
                 t = _time.time()

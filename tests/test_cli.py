@@ -34,7 +34,14 @@ TINY_OPTS = [
 def _run(cmd, timeout=420):
     env = dict(os.environ)
     env["JAX_PLATFORM_NAME"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"  # the host env may pin JAX_PLATFORMS=axon
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    # Hermetic CPU subprocess: drop the axon TPU plugin from PYTHONPATH.
+    # With it present, jax's backend init dials the TPU tunnel even under
+    # JAX_PLATFORM_NAME=cpu, and a down/slow tunnel hangs the whole test.
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p)
     return subprocess.run(
         [sys.executable] + cmd, capture_output=True, text=True,
         timeout=timeout, env=env, cwd=REPO,

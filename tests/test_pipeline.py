@@ -115,12 +115,18 @@ def test_window_scorer_end_to_end(video, tmp_path):
     np.testing.assert_allclose(per_frame.sum(axis=1), 1.0, rtol=1e-3)
 
     # the three scoring paths (on-device gather / host-window streaming /
-    # seek loader) must produce identical spans and scores: they share the
+    # seek loader) must produce identical spans and scores when the gather
+    # path runs bit-exact RGB chunks (chroma420=False): they share the
     # per-frame decode+resize math, only the assembly point differs
     preds_host = scorer._score_streaming(ds)
     preds_loader = scorer._score_loader(ds)
+    scorer_rgb = WindowScorer(module, params, mesh, batch_size=4,
+                              chroma420=False)
+    preds_rgb = scorer_rgb._score_device_gather(ds)
     # small chunks + tiny per-call budget force multiple chunk uploads,
-    # tail-chunk padding and the overfull-chunk split loop
+    # tail-chunk padding and the overfull-chunk split loop (default
+    # chroma420 chunks — must agree with the single-chunk default run
+    # to float tolerance: chunk partitioning never changes the math)
     scorer_mc = WindowScorer(module, params, mesh, batch_size=4,
                              chunk_frames=64)
     scorer_mc.windows_per_call = 3
@@ -130,10 +136,52 @@ def test_window_scorer_end_to_end(video, tmp_path):
         np.testing.assert_allclose(a[2], b[2], atol=2e-5)
     assert [p[:2] for p in preds] == [p[:2] for p in preds_host]
     assert [p[:2] for p in preds] == [p[:2] for p in preds_loader]
-    for a, b in zip(preds, preds_host):
+    for a, b in zip(preds_rgb, preds_host):
         np.testing.assert_allclose(a[2], b[2], atol=2e-5)
-    for a, b in zip(preds, preds_loader):
+    for a, b in zip(preds_rgb, preds_loader):
         np.testing.assert_allclose(a[2], b[2], atol=2e-5)
+    # default gather path ships I420 chunks: the gray test video has no
+    # chroma, so the only delta vs the RGB paths is the <=1 LSB luma
+    # round trip — scores must stay close
+    for a, b in zip(preds, preds_rgb):
+        np.testing.assert_allclose(a[2], b[2], atol=5e-3)
+
+
+def test_i420_device_inverse_matches_cv2():
+    """The jitted BT.601 inverse must reproduce cv2's I420 decode on real
+    color content (<=1.5/255 per channel: cv2 is fixed-point, ours f32)."""
+    from aicity_action_tpu.pipeline.window_inference import i420_to_rgb
+
+    rs = np.random.RandomState(3)
+    s = 64
+    bgr = cv2.GaussianBlur(
+        rs.randint(0, 255, (s, s, 3), np.uint8), (0, 0), 2)
+    i420 = cv2.cvtColor(bgr, cv2.COLOR_BGR2YUV_I420)      # [s*3//2, s]
+    want = cv2.cvtColor(i420, cv2.COLOR_YUV2RGB_I420).astype(np.float32)
+    got = np.asarray(i420_to_rgb(i420[None], s))[0]
+    assert np.abs(got - want).max() <= 1.5
+    # round trip to the ORIGINAL frame stays within chroma-subsample loss
+    orig_rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB).astype(np.float32)
+    assert np.abs(got - orig_rgb).mean() < 3.0
+
+
+def test_stream_chunks_yuv420_layout(tmp_path):
+    """YUV chunks carry the same frames as RGB chunks, I420-packed."""
+    path = str(tmp_path / "v.mp4")
+    _write_video(path, num_frames=40)
+    ds = WindowDataset(path, frame_length=4, frame_stride=4,
+                       proposal_stride=16, frame_size=32)
+    rgb_chunks = ds.stream_chunks(16, rgb=False)
+    ds2 = WindowDataset(path, frame_length=4, frame_stride=4,
+                        proposal_stride=16, frame_size=32)
+    yuv_chunks = ds2.stream_chunks(16, yuv420=True)
+    for _ in range(3):  # covers EOF padding chunk (40 frames / 16)
+        bgr = next(rgb_chunks)
+        yuv = next(yuv_chunks)
+        assert yuv.shape == (16, 48, 32) and yuv.dtype == np.uint8
+        for f in range(16):
+            want = cv2.cvtColor(bgr[f], cv2.COLOR_BGR2YUV_I420)
+            np.testing.assert_array_equal(yuv[f], want)
 
 
 def test_full_postprocess_chain(tmp_path):

@@ -37,6 +37,11 @@ def parse_args():
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--roi", type=float, nargs=4, default=[0.0, 0.0, 1.0, 1.0])
+    p.add_argument("--exact_rgb", action="store_true",
+                   help="ship RGB chunks instead of I420 (bit-exact with "
+                        "the host preprocessing paths; 2x host->device "
+                        "bytes — source video is 4:2:0 anyway, so the "
+                        "default loses nothing the encoder kept)")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     return p.parse_args()
 
@@ -81,7 +86,8 @@ def main():
                           batch_size=args.batch_size,
                           num_workers=args.num_workers,
                           model_state=state.model_state,
-                          detection=cfg.DETECTION.ENABLE)
+                          detection=cfg.DETECTION.ENABLE,
+                          chroma420=not args.exact_rgb)
     os.makedirs(args.out_dir, exist_ok=True)
 
     n_path = 2 if cfg.MODEL.ARCH in cfg.MODEL.MULTI_PATHWAY_ARCH else 1
