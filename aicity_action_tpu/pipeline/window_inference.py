@@ -179,8 +179,6 @@ class WindowDataset:
         consumer reconstructs RGB on-device (implies ``rgb`` is ignored:
         the BGR→I420 conversion consumes the decoder's BGR directly and
         the device inverse emits RGB, so no host cvtColor is needed)."""
-        from .. import native
-
         s = self.frame_size
         F = chunk_frames
         if yuv420:
@@ -194,20 +192,7 @@ class WindowDataset:
         last = None
 
         def resized(stack):
-            u8 = native.crop_resize_u8(stack, self._roi_px, s)
-            if u8 is None:
-                x1, y1, x2, y2 = self._roi_px
-                cropped = stack[:, y1:y2, x1:x2]
-                u8 = np.empty((stack.shape[0], s, s, 3), np.uint8)
-                for i in range(stack.shape[0]):
-                    u8[i] = cv2.resize(cropped[i], (s, s),
-                                       interpolation=cv2.INTER_LINEAR)
-            if yuv420:
-                packed = np.empty((u8.shape[0], s * 3 // 2, s), np.uint8)
-                for i in range(u8.shape[0]):
-                    packed[i] = cv2.cvtColor(u8[i], cv2.COLOR_BGR2YUV_I420)
-                return packed
-            return u8
+            return self._resize_pack(stack, s, yuv420)
 
         try:
             eof = False
@@ -254,6 +239,127 @@ class WindowDataset:
                 yield pad
         finally:
             cap.release()
+
+    def _resize_pack(self, stack, s: int, yuv420: bool):
+        """ROI-crop + resize a ``[N, H, W, 3]`` u8 frame stack to
+        ``[N, s, s, 3]``, or I420-pack to ``[N, s*3//2, s]`` when
+        ``yuv420`` (expects BGR input in that case). Pure function of its
+        inputs + ``self._roi_px`` — safe to call from decoder threads."""
+        from .. import native
+
+        u8 = native.crop_resize_u8(stack, self._roi_px, s)
+        if u8 is None:
+            x1, y1, x2, y2 = self._roi_px
+            cropped = stack[:, y1:y2, x1:x2]
+            u8 = np.empty((stack.shape[0], s, s, 3), np.uint8)
+            for i in range(stack.shape[0]):
+                u8[i] = cv2.resize(cropped[i], (s, s),
+                                   interpolation=cv2.INTER_LINEAR)
+        if yuv420:
+            packed = np.empty((u8.shape[0], s * 3 // 2, s), np.uint8)
+            for i in range(u8.shape[0]):
+                packed[i] = cv2.cvtColor(u8[i], cv2.COLOR_BGR2YUV_I420)
+            return packed
+        return u8
+
+    def stream_chunks_parallel(self, chunk_frames: int, n_threads: int,
+                               rgb: bool = True, yuv420: bool = False):
+        """Ordered N-thread variant of ``stream_chunks``. Chunk ``c`` covers
+        the DISJOINT source range ``[c*F, (c+1)*F)``, so decoders need no
+        coordination: each worker opens its own cv2 handle, seeks to its
+        chunk start and fills one slab (cv2/FFmpeg releases the GIL during
+        decode, so this scales with host cores — the reference reaches the
+        same concurrency through DataLoader workers,
+        run_action_classification_temporal_inf.py:41-44). Yields chunks
+        bitwise-identical to ``stream_chunks``, in order, including the
+        repeat-last-frame EOF padding; infinite like the sequential
+        generator. ~``n_threads + 1`` slabs are in flight at once.
+        """
+        if n_threads <= 1:
+            yield from self.stream_chunks(chunk_frames, rgb=rgb,
+                                          yuv420=yuv420)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        s = self.frame_size
+        F = chunk_frames
+        if yuv420:
+            assert s % 2 == 0, "I420 packing needs an even frame size"
+            rgb = False
+        if self._roi_px is None:  # resolve once before workers race on it
+            cap = cv2.VideoCapture(self.video_path)
+            ok, frame = cap.read()
+            cap.release()
+            if ok:
+                h, w = frame.shape[:2]
+                x1, y1, x2, y2 = self.roi
+                self._roi_px = (int(w * x1), int(h * y1),
+                                int(w * x2), int(h * y2))
+
+        def shape():
+            return (F, s * 3 // 2, s) if yuv420 else (F, s, s, 3)
+
+        def decode(c: int):
+            """Returns (slab, n_real): slab tail already padded with the
+            chunk's own last frame when 0 < n_real < F (matching the
+            sequential generator's partial-chunk semantics)."""
+            cap = cv2.VideoCapture(self.video_path)
+            try:
+                if c:
+                    cap.set(cv2.CAP_PROP_POS_FRAMES, c * F)
+                frames = []
+                while len(frames) < F:
+                    ok, frame = cap.read()
+                    if not ok:
+                        break
+                    if rgb:
+                        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                    frames.append(frame)
+            finally:
+                cap.release()
+            if not frames:
+                return None, 0
+            slab = np.empty(shape(), np.uint8)
+            done = 0
+            for i in range(0, len(frames), 16):
+                u8 = self._resize_pack(np.stack(frames[i:i + 16]), s, yuv420)
+                slab[done:done + len(u8)] = u8
+                done += len(u8)
+            if done < F:
+                slab[done:] = slab[done - 1]
+            return slab, done
+
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            futs = {c: pool.submit(decode, c) for c in range(n_threads + 1)}
+            nxt = n_threads + 1
+            c = 0
+            last = None  # last real (processed) frame seen so far
+            eof = False
+            while True:
+                if eof:
+                    pad = np.empty(shape(), np.uint8)
+                    pad[:] = last if last is not None else 0
+                    yield pad
+                    continue
+                slab, n_real = futs.pop(c).result()
+                if n_real == F:
+                    futs[nxt] = pool.submit(decode, nxt)
+                    nxt += 1
+                    last = slab[-1].copy()  # consumer owns the yielded slab
+                    yield slab
+                else:
+                    eof = True
+                    for f in futs.values():  # past-EOF lookahead, cheap
+                        f.cancel()
+                    futs.clear()
+                    if n_real:
+                        last = slab[n_real - 1].copy()
+                        yield slab
+                    else:  # chunk entirely past EOF: repeat-last pad
+                        pad = np.empty(shape(), np.uint8)
+                        pad[:] = last if last is not None else 0
+                        yield pad
+                c += 1
 
     def stream_windows(self, raw_u8: bool = False):
         """Single-pass streaming iterator: decode every frame ONCE and emit
@@ -571,11 +677,17 @@ class WindowScorer:
         timers = {"decode": 0.0, "upload": 0.0, "dispatch": 0.0,
                   "drain": 0.0}
 
-        # decode runs ahead in a worker thread (depth-2 queue): cv2/FFmpeg
-        # releases the GIL during decode, so it overlaps the upload's
-        # network sends and the device compute
-        # infinite generator: pads at EOF
-        gen = dataset.stream_chunks(F, rgb=not bgr, yuv420=chroma)
+        # decode runs ahead of upload/compute: with >1 host core,
+        # num_workers seek-decoders fill disjoint chunks in parallel
+        # (stream_chunks_parallel, bitwise-identical output); on a 1-core
+        # host that would only add per-seek keyframe re-decode work, so it
+        # degrades to the sequential single-pass generator behind the same
+        # depth-2 queue (cv2/FFmpeg releases the GIL, so even one decoder
+        # overlaps the upload's network sends and the device compute)
+        n_dec = max(1, min(self.num_workers, (os.cpu_count() or 1) - 1))
+        # infinite generators: pad at EOF
+        gen = dataset.stream_chunks_parallel(
+            F, n_dec, rgb=not bgr, yuv420=chroma)
         q: _queue.Queue = _queue.Queue(maxsize=2)
 
         def _decoder():

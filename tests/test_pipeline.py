@@ -184,6 +184,29 @@ def test_stream_chunks_yuv420_layout(tmp_path):
             np.testing.assert_array_equal(yuv[f], want)
 
 
+@pytest.mark.parametrize("num_frames,F", [
+    (200, 16),   # partial final chunk (200 = 12*16 + 8) + EOF pads
+    (64, 16),    # exact multiple of F: EOF pads carry the true last frame
+    (10, 16),    # shorter than one chunk
+])
+@pytest.mark.parametrize("yuv420", [False, True])
+def test_stream_chunks_parallel_matches_sequential(tmp_path, num_frames, F,
+                                                   yuv420):
+    """The N-thread seek-decoder must be bitwise-identical to the
+    sequential single-pass generator, chunk for chunk, through EOF padding
+    (frame content encodes the frame index, so any seek inaccuracy or
+    ordering slip fails the exact comparison)."""
+    path = str(tmp_path / "v.mp4")
+    _write_video(path, num_frames=num_frames)
+    mk = lambda: WindowDataset(path, frame_length=4, frame_stride=4,
+                               proposal_stride=16, frame_size=32)
+    seq = mk().stream_chunks(F, rgb=not yuv420, yuv420=yuv420)
+    par = mk().stream_chunks_parallel(F, 3, rgb=not yuv420, yuv420=yuv420)
+    n_chunks = num_frames // F + 3  # real chunks + partial + 2 EOF pads
+    for c in range(n_chunks):
+        np.testing.assert_array_equal(next(seq), next(par), err_msg=f"chunk {c}")
+
+
 def test_full_postprocess_chain(tmp_path):
     """Synthetic scores with a known action segment → F1 == 1."""
     num_class = 4
