@@ -189,15 +189,18 @@ def compute_vicreg_loss(emb, std_weight=25.0, cov_weight=1.0, mask=None):
         emb = emb - emb.mean(axis=0)
     else:
         m = mask.astype(emb.dtype)[:, None]
-        n = mask.sum()
+        n = jnp.maximum(mask.sum(), 1)
         emb = (emb - (emb * m).sum(axis=0) / n) * m
-    # torch.var defaults to the unbiased (n-1) estimator
-    var = (emb ** 2).sum(axis=0) / (n - 1)
+    # torch.var defaults to the unbiased (n-1) estimator; clamp the
+    # denominator so a 1-valid-row (padded) batch yields a finite loss
+    # instead of 0/0 = NaN tripping the train loop's NaN hard-fail.
+    denom = jnp.maximum(n - 1, 1) if mask is not None else max(n - 1, 1)
+    var = (emb ** 2).sum(axis=0) / denom
     std_emb = jnp.sqrt(var + 1e-4)
     std_loss = jnp.mean(jax.nn.relu(1 - std_emb))
 
     f = emb.shape[1]
-    cov = (emb.T @ emb) / (n - 1)
+    cov = (emb.T @ emb) / denom
     off_diag = cov - jnp.diag(jnp.diag(cov))
     cov_loss = (off_diag ** 2).sum() / f
     return std_loss * std_weight + cov_loss * cov_weight

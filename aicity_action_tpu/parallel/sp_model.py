@@ -74,7 +74,7 @@ def plan_sp_blocks(spec, n_sp: int) -> int:
         sq, skv, kq, kkv, k_skip = _strides_for(bs, Hl)
         if any(k % 2 == 0 for k in (kq, kkv, k_skip)):
             break
-        if Hl % sq or Hl % skv or Hl % max(sq, 1):
+        if Hl % sq or Hl % skv:
             break
         if max(kq, kkv, k_skip) // 2 > Hl:
             break
@@ -116,7 +116,7 @@ def _dense(x, p, dtype):
 
 
 def _sp_block(xv, cls_tok, bp, bs, thw, *, mode, qkv_bias,
-              q_pool_residual, channel_expand_front, mlp_ratio,
+              q_pool_residual, channel_expand_front,
               axis_name, n_sp, dtype):
     """One MultiScaleBlock on an H-sharded volume ``xv``
     ``[B, T, H_local, W, C]`` (+ replicated ``cls_tok [B, 1, C]`` or None).
@@ -307,8 +307,11 @@ def sp_forward(params, spec, x, *, axis_name: str | None,
         cls_tok = cls_tok + cls_pos.astype(dtype)
     xv = xv + pos.astype(dtype)
 
+    # plan_sp_blocks returns 0 when H % n_sp != 0 (or no block geometry is
+    # shard-aligned); in that case run fully dense — never slice, or the
+    # i==n_shard gather would reconstruct the wrong row count.
     n_shard = plan_sp_blocks(sp, n_sp) if axis_name is not None else 0
-    if axis_name is not None:
+    if n_shard > 0:
         Hl = H // n_sp
         r = lax.axis_index(axis_name)
         xv = lax.dynamic_slice_in_dim(xv, r * Hl, Hl, axis=2)
@@ -317,9 +320,9 @@ def sp_forward(params, spec, x, *, axis_name: str | None,
     blk_kw = dict(mode=sp.mode, qkv_bias=sp.qkv_bias,
                   q_pool_residual=sp.q_pool_residual,
                   channel_expand_front=sp.channel_expand_front,
-                  mlp_ratio=sp.mlp_ratio, dtype=dtype)
+                  dtype=dtype)
     for i, bs in enumerate(sp.blocks):
-        if axis_name is not None and i == n_shard:
+        if n_shard > 0 and i == n_shard:
             # geometry no longer shard-aligned: gather once, finish dense
             xv = lax.all_gather(xv, axis_name, axis=2, tiled=True)
         sharded = axis_name is not None and i < n_shard

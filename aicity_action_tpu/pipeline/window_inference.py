@@ -263,7 +263,8 @@ class WindowDataset:
         return u8
 
     def stream_chunks_parallel(self, chunk_frames: int, n_threads: int,
-                               rgb: bool = True, yuv420: bool = False):
+                               rgb: bool = True, yuv420: bool = False,
+                               max_chunks: int | None = None):
         """Ordered N-thread variant of ``stream_chunks``. Chunk ``c`` covers
         the DISJOINT source range ``[c*F, (c+1)*F)``, so decoders need no
         coordination: each worker opens its own cv2 handle, seeks to its
@@ -274,6 +275,12 @@ class WindowDataset:
         bitwise-identical to ``stream_chunks``, in order, including the
         repeat-last-frame EOF padding; infinite like the sequential
         generator. ~``n_threads + 1`` slabs are in flight at once.
+
+        ``max_chunks`` bounds lookahead decoding: no chunk ≥ ``max_chunks``
+        is ever submitted, so a consumer that stops there leaves no wasted
+        in-flight decodes behind and ``close()`` returns immediately
+        (chunks requested past the bound yield repeat-last pads, as past
+        EOF).
         """
         if n_threads <= 1:
             yield from self.stream_chunks(chunk_frames, rgb=rgb,
@@ -307,6 +314,18 @@ class WindowDataset:
             try:
                 if c:
                     cap.set(cv2.CAP_PROP_POS_FRAMES, c * F)
+                    # cv2/FFmpeg estimates seek targets from average fps;
+                    # on VFR/odd-GOP sources it can land off-target, which
+                    # would silently break the bitwise-equal contract with
+                    # the sequential decoder. If the readback disagrees,
+                    # fall back to an exact sequential skip from frame 0.
+                    got = cap.get(cv2.CAP_PROP_POS_FRAMES)
+                    if int(round(got)) != c * F:
+                        cap.release()
+                        cap = cv2.VideoCapture(self.video_path)
+                        for _ in range(c * F):
+                            if not cap.grab():
+                                break
                 frames = []
                 while len(frames) < F:
                     ok, frame = cap.read()
@@ -329,22 +348,26 @@ class WindowDataset:
                 slab[done:] = slab[done - 1]
             return slab, done
 
+        limit = max_chunks if max_chunks is not None else float("inf")
+        n0 = n_threads + 1 if max_chunks is None else min(n_threads + 1,
+                                                          max_chunks)
         with ThreadPoolExecutor(max_workers=n_threads) as pool:
-            futs = {c: pool.submit(decode, c) for c in range(n_threads + 1)}
-            nxt = n_threads + 1
+            futs = {c: pool.submit(decode, c) for c in range(n0)}
+            nxt = n0
             c = 0
             last = None  # last real (processed) frame seen so far
             eof = False
             while True:
-                if eof:
+                if eof or c not in futs:
                     pad = np.empty(shape(), np.uint8)
                     pad[:] = last if last is not None else 0
                     yield pad
                     continue
                 slab, n_real = futs.pop(c).result()
                 if n_real == F:
-                    futs[nxt] = pool.submit(decode, nxt)
-                    nxt += 1
+                    if nxt < limit:
+                        futs[nxt] = pool.submit(decode, nxt)
+                        nxt += 1
                     last = slab[-1].copy()  # consumer owns the yielded slab
                     yield slab
                 else:
@@ -685,9 +708,10 @@ class WindowScorer:
         # depth-2 queue (cv2/FFmpeg releases the GIL, so even one decoder
         # overlaps the upload's network sends and the device compute)
         n_dec = max(1, min(self.num_workers, (os.cpu_count() or 1) - 1))
-        # infinite generators: pad at EOF
+        # infinite generators: pad at EOF; max_chunks bounds the parallel
+        # lookahead so no decode work is wasted past the last scored chunk
         gen = dataset.stream_chunks_parallel(
-            F, n_dec, rgb=not bgr, yuv420=chroma)
+            F, n_dec, rgb=not bgr, yuv420=chroma, max_chunks=n_chunks)
         q: _queue.Queue = _queue.Queue(maxsize=2)
 
         def _decoder():
@@ -731,6 +755,8 @@ class WindowScorer:
                 jax.device_get(jnp.stack([o for o, _ in pending])),
                 np.float32)
             timers["drain"] += _time.time() - t
+        th.join()
+        gen.close()  # release the parallel decoder's pool + cv2 handles
         if os.environ.get("WINDOW_SCORER_TIMINGS"):
             print(f"# window_scorer timings: "
                   f"{ {k: round(v, 1) for k, v in timers.items()} }",

@@ -158,13 +158,6 @@ _BN_LEAVES = {
     "running_var": ("stats", "var"),
 }
 
-# module names that pass through to identically-named flax submodules
-_CONV_PASSTHROUGH = {
-    "branch1", "branch2", "a", "b", "c", "se", "fc1", "fc2", "conv",
-    "conv_xy", "conv_f2s", "conv_theta", "conv_phi", "conv_g", "conv_out",
-    "conv_5", "lin_5", "projection", "head", "pathway0_stem", "pathway1_stem",
-}
-
 
 def convert_convnet_state_dict(
     sd: Mapping[str, np.ndarray], model_shapes: Mapping[tuple, tuple] | None = None

@@ -207,6 +207,28 @@ def test_stream_chunks_parallel_matches_sequential(tmp_path, num_frames, F,
         np.testing.assert_array_equal(next(seq), next(par), err_msg=f"chunk {c}")
 
 
+def test_stream_chunks_parallel_max_chunks(tmp_path):
+    """max_chunks bounds the parallel lookahead: the bounded generator
+    matches the sequential one up to the bound, yields repeat-last pads
+    past it, and close() returns without waiting on wasted decodes."""
+    import time
+    path = str(tmp_path / "v.mp4")
+    _write_video(path, num_frames=200)
+    mk = lambda: WindowDataset(path, frame_length=4, frame_stride=4,
+                               proposal_stride=16, frame_size=32)
+    seq = mk().stream_chunks(16)
+    par = mk().stream_chunks_parallel(16, 3, max_chunks=4)
+    for c in range(4):
+        want = next(seq)
+        np.testing.assert_array_equal(want, next(par), err_msg=f"chunk {c}")
+    # past the bound: repeat-last pad (same contract as past EOF)
+    pad = next(par)
+    np.testing.assert_array_equal(pad, np.broadcast_to(want[-1], pad.shape))
+    t0 = time.time()
+    par.close()
+    assert time.time() - t0 < 2.0
+
+
 def test_full_postprocess_chain(tmp_path):
     """Synthetic scores with a known action segment → F1 == 1."""
     num_class = 4

@@ -85,6 +85,21 @@ def test_full_model_parity(cls_on, expand_front, n_sp):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+def test_non_dividing_mesh_falls_back_dense():
+    """H % n_sp != 0 (post-patch H=8, 3 shards) must not slice the grid:
+    plan_sp_blocks plans 0 sharded blocks and sp_apply runs fully dense,
+    still matching the module (regression: the slice used to run
+    unconditionally, silently dropping token rows)."""
+    cfg = _cfg()
+    module, params = build_model(cfg)
+    spec = build_mvit_spec(cfg)
+    assert plan_sp_blocks(spec, 3) == 0
+    x = np.random.RandomState(2).randn(1, 8, 32, 32, 3).astype(np.float32)
+    want = _dense_logits(cfg, module, params, x)
+    got = _sp_logits(cfg, params, x, 3)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
 def test_dense_reference_path_matches_module():
     """sp_forward with axis_name=None is the pure-function reference —
     it must match MViT.apply exactly (guards drift between the two)."""

@@ -79,6 +79,20 @@ class TestVicreg:
         got = compute_vicreg_loss(padded, 1.0, 1.0, mask=mask)
         np.testing.assert_allclose(float(got), float(full), rtol=1e-5)
 
+    def test_single_valid_row_is_finite(self):
+        """Regression: a padded batch with exactly ONE real sample (e.g.
+        len(dataset) % global_batch == 1) used to hit the unbiased (n-1)
+        variance denominator as 0/0 = NaN and trip the train loop's NaN
+        hard-fail. The clamped denominator must keep the loss finite."""
+        emb = jnp.asarray(np.random.RandomState(0).randn(4, 8),
+                          jnp.float32)
+        mask = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+        got = compute_vicreg_loss(emb, 1.0, 1.0, mask=mask)
+        assert np.isfinite(float(got))
+        # batch-size-1 unmasked path too (static n)
+        got1 = compute_vicreg_loss(emb[:1], 1.0, 1.0)
+        assert np.isfinite(float(got1))
+
     def test_multihead_padded_batch_parity(self):
         """Weak #5: a padded batch with n_valid must give the same loss and
         the same gradients as the true short batch."""
