@@ -29,7 +29,7 @@ import time
 
 import numpy as np
 
-BATCH = 8
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 CROP = 448
 ITERS = 10
 TPU_PEAK_FLOPS = 197e12          # v5e bf16
