@@ -27,45 +27,56 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def halo_exchange_h(x: jax.Array, axis_name: str, halo: int = 1,
-                    fill_value: float = 0.0):
-    """Exchange ``halo`` boundary rows of the H-sharded volume.
+def halo_exchange(x: jax.Array, axis_name: str, *, axis: int,
+                  halo: int = 1, fill_value: float = 0.0):
+    """Exchange ``halo`` boundary slices of a volume sharded on ``axis``.
 
     Args:
-      x: local shard ``[B, T, H_local, W, C]``.
-      axis_name: mesh axis the H dim is sharded over.
+      x: local shard, e.g. ``[B, T, H_local, W, C]`` (axis=2, H-sharded)
+        or ``[B, T_local, H, W, C]`` (axis=1, T-sharded).
+      axis_name: mesh axis the dim is sharded over.
+      axis: which array axis is sharded.
       fill_value: value at the grid edges — 0 matches a conv's zero
         padding, ``-inf`` matches max-pool padding semantics.
-    Returns ``(top, bottom)`` neighbor rows, each ``[B, T, halo, W, C]``.
+    Returns ``(before, after)`` neighbor slices, each ``halo`` wide on
+    ``axis``.
     """
     n = lax.psum(1, axis_name)
     idx = lax.axis_index(axis_name)
 
-    # my top rows go to my lower neighbor; my bottom rows to my upper one
-    top_rows = x[:, :, :halo]
-    bot_rows = x[:, :, -halo:]
+    # my leading rows go to my lower neighbor; my trailing to my upper one
+    lead = lax.slice_in_dim(x, 0, halo, axis=axis)
+    trail = lax.slice_in_dim(x, x.shape[axis] - halo, x.shape[axis],
+                             axis=axis)
     from_above = lax.ppermute(
-        bot_rows, axis_name, [(i, (i + 1) % n) for i in range(n)])
+        trail, axis_name, [(i, (i + 1) % n) for i in range(n)])
     from_below = lax.ppermute(
-        top_rows, axis_name, [(i, (i - 1) % n) for i in range(n)])
-    edge = jnp.full_like(top_rows, fill_value)
+        lead, axis_name, [(i, (i - 1) % n) for i in range(n)])
+    edge = jnp.full_like(lead, fill_value)
     from_above = jnp.where(idx == 0, edge, from_above)
     from_below = jnp.where(idx == n - 1, edge, from_below)
     return from_above, from_below
 
 
-def sp_pool_volume(x: jax.Array, axis_name: str | None, *, mode: str,
-                   kernel, stride, conv_weights=None):
-    """H-sharded pooling of a ``[B, T, H_local, W, C]`` volume — the SP
-    form of ``ops.pooling.attention_pool``'s core (conv / max / avg with
-    padding ``k // 2``).
+def halo_exchange_h(x: jax.Array, axis_name: str, halo: int = 1,
+                    fill_value: float = 0.0):
+    """H-axis form of :func:`halo_exchange` (volume ``[B,T,H_l,W,C]``)."""
+    return halo_exchange(x, axis_name, axis=2, halo=halo,
+                         fill_value=fill_value)
 
-    The H-axis padding comes from a ``kh // 2``-row halo exchange (zeros
-    for conv, ``-inf`` for max, matching the dense op's edge semantics);
-    T and W keep ordinary padding. Requires ``H_local % stride_h == 0``
-    (shard boundaries aligned with pooling windows — identical results to
-    the unsharded op). ``axis_name=None`` degrades to the dense op (used
-    for the post-gather tail blocks).
+
+def sp_pool_volume(x: jax.Array, axis_name: str | None, *, mode: str,
+                   kernel, stride, conv_weights=None, shard_axis: int = 2):
+    """Sharded pooling of a ``[B, T, H, W, C]`` volume whose ``shard_axis``
+    (2 = H rows, 1 = T frames) is mesh-sharded — the SP form of
+    ``ops.pooling.attention_pool``'s core (conv / max / avg, pad ``k//2``).
+
+    The sharded axis's padding comes from a ``k//2``-slice halo exchange
+    (zeros for conv, ``-inf`` for max, matching the dense op's edge
+    semantics); the other two axes keep ordinary padding. Requires the
+    local extent divisible by the axis stride (shard boundaries on pooling
+    windows — identical results to the unsharded op). ``axis_name=None``
+    degrades to the dense op (used for the post-gather tail blocks).
     """
     kt, kh, kw = (int(v) for v in kernel)
     st, sh, sw = (int(v) for v in stride)
@@ -77,26 +88,32 @@ def sp_pool_volume(x: jax.Array, axis_name: str | None, *, mode: str,
             return depthwise_conv3d(x, conv_weights, (st, sh, sw), pad)
         return pool3d(x, mode, (kt, kh, kw), (st, sh, sw), pad)
 
-    assert x.shape[2] % sh == 0, (x.shape, sh)
-    halo = kh // 2
+    assert shard_axis in (1, 2), shard_axis
+    ax_k, ax_s = ((kh, sh) if shard_axis == 2 else (kt, st))
+    assert x.shape[shard_axis] % ax_s == 0, (x.shape, shard_axis, ax_s)
+    halo = ax_k // 2
     if halo:
         fill = -jnp.inf if mode == "max" else 0.0
-        above, below = halo_exchange_h(x, axis_name, halo, fill_value=fill)
-        xh = jnp.concatenate([above, x, below], axis=2)
+        above, below = halo_exchange(x, axis_name, axis=shard_axis,
+                                     halo=halo, fill_value=fill)
+        xh = jnp.concatenate([above, x, below], axis=shard_axis)
     else:
         xh = x
+    # the sharded axis is already halo-padded; the others pad normally
+    pads3 = [(kt // 2, kt // 2), (kh // 2, kh // 2), (kw // 2, kw // 2)]
+    pads3[shard_axis - 1] = (0, 0)
     if mode == "conv":
         return lax.conv_general_dilated(
             xh, conv_weights,
             window_strides=(st, sh, sw),
-            padding=[(kt // 2, kt // 2), (0, 0), (kw // 2, kw // 2)],
+            padding=pads3,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             feature_group_count=x.shape[-1],
         )
     assert mode in ("max", "avg"), mode
     window = (1, kt, kh, kw, 1)
     strides = (1, st, sh, sw, 1)
-    pads = ((0, 0), (kt // 2, kt // 2), (0, 0), (kw // 2, kw // 2), (0, 0))
+    pads = ((0, 0), *pads3, (0, 0))
     if mode == "max":
         return lax.reduce_window(xh, -jnp.inf, lax.max, window, strides,
                                  pads)

@@ -1,10 +1,15 @@
 """Full-model sequence parallelism for MViT.
 
 Generalizes ``parallel/sp.py``'s single-block demo into a capability: the
-WHOLE flagship forward runs with the token grid's H axis sharded over a mesh
-axis — h > 1 heads, cls tokens, the real block schedule (q-pooling,
+WHOLE flagship forward runs with one token-grid axis — H rows
+(``shard_axis="h"``) or T frames (``shard_axis="t"``) — sharded over a mesh
+axis: h > 1 heads, cls tokens, the real block schedule (q-pooling,
 adaptive kv strides, channel expansion both front and back), and the
-classification head.
+classification head. The axis choice matters: the flagship 448 config
+H-shards only 2-way (H=112 vs the stage-1 kv stride 8) but T-shards up to
+8-way through ALL 16 blocks (its temporal pooling strides are 1
+everywhere, so T=8 stays intact and every shard keeps whole pooling
+windows).
 
 Decomposition per block (see parallel/sp.py's module docstring for why MViT
 needs no ring attention):
@@ -44,42 +49,56 @@ def _pooled(size: int, k: int, s: int) -> int:
     return (size + 2 * (k // 2) - k) // s + 1
 
 
-def _strides_for(bs, H_local: int):
-    """(stride_q_h, stride_kv_h, skip_kernel_h) of one BlockSpec, with
-    inactive pooling normalized to 1."""
+def _axis_comp(shard_axis: str) -> int:
+    """(T, H, W)-tuple component index of the sharded grid axis."""
+    assert shard_axis in ("t", "h"), shard_axis
+    return 0 if shard_axis == "t" else 1
+
+
+def _strides_for(bs, comp: int):
+    """(stride_q, stride_kv, kernel_q, kernel_kv, skip_kernel) of one
+    BlockSpec along grid-axis component ``comp`` (0=T, 1=H), with inactive
+    pooling normalized to 1."""
 
     def active(kernel, stride):
         return len(kernel) > 0 and not (
             np.prod(kernel) == 1 and np.prod(stride) == 1)
 
-    sq = bs.stride_q[1] if active(bs.kernel_q, bs.stride_q) else 1
-    skv = bs.stride_kv[1] if active(bs.kernel_kv, bs.stride_kv) else 1
-    kq = bs.kernel_q[1] if active(bs.kernel_q, bs.stride_q) else 1
-    kkv = bs.kernel_kv[1] if active(bs.kernel_kv, bs.stride_kv) else 1
-    k_skip = sq + 1 if sq > 1 else 1
+    sq = bs.stride_q[comp] if active(bs.kernel_q, bs.stride_q) else 1
+    skv = bs.stride_kv[comp] if active(bs.kernel_kv, bs.stride_kv) else 1
+    kq = bs.kernel_q[comp] if active(bs.kernel_q, bs.stride_q) else 1
+    kkv = bs.kernel_kv[comp] if active(bs.kernel_kv, bs.stride_kv) else 1
+    s_skip = bs.stride_q[comp] if active(bs.kernel_q, bs.stride_q) else 1
+    k_skip = s_skip + 1 if s_skip > 1 else 1
     return sq, skv, kq, kkv, k_skip
 
 
-def plan_sp_blocks(spec, n_sp: int) -> int:
-    """Number of leading blocks that can run H-sharded over ``n_sp``
-    shards: every pooling op needs ``H_local`` divisible by its stride
-    (shard boundaries on window boundaries) and halos no larger than a
-    neighbor shard."""
-    _, H, _ = spec.patch_dims
+def plan_sp_blocks(spec, n_sp: int, shard_axis: str = "h") -> int:
+    """Number of leading blocks that can run sharded over ``n_sp`` shards
+    of the grid's ``shard_axis`` ("h" rows or "t" frames): every pooling
+    op needs the local extent divisible by its stride (shard boundaries on
+    window boundaries) and halos no larger than a neighbor shard.
+
+    The flagship 448 config is H-shardable 2-way (H=112 trips the
+    kv-stride-8 alignment at 4-way) but T-shardable up to 8-way through
+    ALL blocks — its temporal pooling strides are 1 everywhere.
+    """
+    comp = _axis_comp(shard_axis)
+    E = spec.patch_dims[comp]
     n = 0
     for bs in spec.blocks:
-        if H % n_sp:
+        if E % n_sp:
             break
-        Hl = H // n_sp
-        sq, skv, kq, kkv, k_skip = _strides_for(bs, Hl)
+        El = E // n_sp
+        sq, skv, kq, kkv, k_skip = _strides_for(bs, comp)
         if any(k % 2 == 0 for k in (kq, kkv, k_skip)):
             break
-        if Hl % sq or Hl % skv:
+        if El % sq or El % skv:
             break
-        if max(kq, kkv, k_skip) // 2 > Hl:
+        if max(kq, kkv, k_skip) // 2 > El:
             break
         n += 1
-        H = Hl // sq * n_sp
+        E = El // sq * n_sp
     return n
 
 
@@ -117,13 +136,17 @@ def _dense(x, p, dtype):
 
 def _sp_block(xv, cls_tok, bp, bs, thw, *, mode, qkv_bias,
               q_pool_residual, channel_expand_front,
-              axis_name, n_sp, dtype):
-    """One MultiScaleBlock on an H-sharded volume ``xv``
-    ``[B, T, H_local, W, C]`` (+ replicated ``cls_tok [B, 1, C]`` or None).
+              axis_name, n_sp, dtype, shard_axis="h"):
+    """One MultiScaleBlock on a volume ``xv`` whose ``shard_axis`` ("h" →
+    ``[B, T, H_local, W, C]``, "t" → ``[B, T_local, H, W, C]``) is
+    mesh-sharded (+ replicated ``cls_tok [B, 1, C]`` or None).
     ``axis_name=None`` runs the identical math dense (n_sp must be 1).
     Returns (new_xv, new_cls, new_thw). Mirrors models/mvit.py
     MultiScaleBlock/MultiScaleAttention (reference attention.py:86-446).
     """
+    comp = _axis_comp(shard_axis)
+    g_ax = 1 + comp  # array axis of the sharded grid dim in [B,T,H,W,C]
+    # unpacked extents are LOCAL (the sharded one is extent / n_sp)
     B, T, Hl, W, Cin = xv.shape
     expand = channel_expand_front and bs.dim != bs.dim_out
     dim_att = bs.dim_out if expand else bs.dim
@@ -169,7 +192,7 @@ def _sp_block(xv, cls_tok, bp, bs, thw, *, mode, qkv_bias,
         if mode == "conv":
             w = jnp.tile(ap[f"pool_{name}"].astype(dtype), (1, 1, 1, 1, h))
         p = sp_pool_volume(t, axis_name, mode=mode, kernel=kernel,
-                           stride=stride, conv_weights=w)
+                           stride=stride, conv_weights=w, shard_axis=g_ax)
         return p
 
     do_q = active(bs.kernel_q, bs.stride_q)
@@ -202,8 +225,8 @@ def _sp_block(xv, cls_tok, bp, bs, thw, *, mode, qkv_bias,
 
     # ---- attention: local q rows vs global pooled K/V
     if axis_name is not None:
-        k_all = lax.all_gather(k, axis_name, axis=2, tiled=True)
-        v_all = lax.all_gather(v, axis_name, axis=2, tiled=True)
+        k_all = lax.all_gather(k, axis_name, axis=g_ax, tiled=True)
+        v_all = lax.all_gather(v, axis_name, axis=g_ax, tiled=True)
     else:
         k_all, v_all = k, v
     qf = tok(q)
@@ -239,7 +262,8 @@ def _sp_block(xv, cls_tok, bp, bs, thw, *, mode, qkv_bias,
     kernel_skip = tuple(s + 1 if s > 1 else s for s in bs.stride_q)
     if len(kernel_skip) > 0 and np.prod(kernel_skip) > 1:
         x_skip = sp_pool_volume(x_skip, axis_name, mode="max",
-                                kernel=kernel_skip, stride=bs.stride_q)
+                                kernel=kernel_skip, stride=bs.stride_q,
+                                shard_axis=g_ax)
     x_res = tok(x_skip) + grid_att
     cls_res = (cls_skip + cls_att) if cls_tok is not None else None
 
@@ -263,19 +287,23 @@ def _sp_block(xv, cls_tok, bp, bs, thw, *, mode, qkv_bias,
         cls_res = cls_res + c_mlp
     x_out = x_res + mlp_out
 
-    Hq_l = thw_q[1] // n_sp if axis_name is not None else thw_q[1]
-    return vol(x_out, (thw_q[0], Hq_l, thw_q[2])), cls_res, thw_q
+    loc = tuple(e // n_sp if (axis_name is not None and i == comp) else e
+                for i, e in enumerate(thw_q))
+    return vol(x_out, loc), cls_res, thw_q
 
 
 def sp_forward(params, spec, x, *, axis_name: str | None,
-               n_sp: int, dtype=jnp.float32):
-    """Full MViT forward with the token grid H-sharded over ``axis_name``.
+               n_sp: int, dtype=jnp.float32, shard_axis: str = "h"):
+    """Full MViT forward with the token grid's ``shard_axis`` ("h" rows or
+    "t" frames) sharded over ``axis_name``.
 
     Runs INSIDE ``shard_map`` (or with ``axis_name=None`` as the dense
     pure-function reference). ``x``: the full (replicated) input
     ``[B, T, S, S, 3]``. Returns logits ``[B, num_classes]`` (replicated —
     every shard computes the identical head output).
     """
+    comp = _axis_comp(shard_axis)
+    g_ax = 1 + comp
     sp = spec
     B = x.shape[0]
 
@@ -307,24 +335,26 @@ def sp_forward(params, spec, x, *, axis_name: str | None,
         cls_tok = cls_tok + cls_pos.astype(dtype)
     xv = xv + pos.astype(dtype)
 
-    # plan_sp_blocks returns 0 when H % n_sp != 0 (or no block geometry is
-    # shard-aligned); in that case run fully dense — never slice, or the
-    # i==n_shard gather would reconstruct the wrong row count.
-    n_shard = plan_sp_blocks(sp, n_sp) if axis_name is not None else 0
+    # plan_sp_blocks returns 0 when the sharded extent % n_sp != 0 (or no
+    # block geometry is shard-aligned); in that case run fully dense —
+    # never slice, or the i==n_shard gather would reconstruct the wrong
+    # extent.
+    n_shard = (plan_sp_blocks(sp, n_sp, shard_axis)
+               if axis_name is not None else 0)
     if n_shard > 0:
-        Hl = H // n_sp
+        El = (T, H, W)[comp] // n_sp
         r = lax.axis_index(axis_name)
-        xv = lax.dynamic_slice_in_dim(xv, r * Hl, Hl, axis=2)
+        xv = lax.dynamic_slice_in_dim(xv, r * El, El, axis=g_ax)
 
     thw = (T, H, W)
     blk_kw = dict(mode=sp.mode, qkv_bias=sp.qkv_bias,
                   q_pool_residual=sp.q_pool_residual,
                   channel_expand_front=sp.channel_expand_front,
-                  dtype=dtype)
+                  dtype=dtype, shard_axis=shard_axis)
     for i, bs in enumerate(sp.blocks):
         if n_shard > 0 and i == n_shard:
             # geometry no longer shard-aligned: gather once, finish dense
-            xv = lax.all_gather(xv, axis_name, axis=2, tiled=True)
+            xv = lax.all_gather(xv, axis_name, axis=g_ax, tiled=True)
         sharded = axis_name is not None and i < n_shard
         xv, cls_tok, thw = _sp_block(
             xv, cls_tok, params[f"blocks_{i}"], bs, thw,
@@ -358,11 +388,13 @@ def sp_forward(params, spec, x, *, axis_name: str | None,
 
 
 def sp_apply(params, spec, x, mesh, *, axis_name: str = "sp",
-             dtype=jnp.float32):
-    """Run the H-sharded forward on a mesh: ``sp_apply(params, spec, x,
-    mesh)`` == ``MViT(spec).apply({"params": params}, x)`` (eval mode,
-    no head activation), with the big early blocks' activations sharded
-    ``1/n_sp`` per device."""
+             dtype=jnp.float32, shard_axis: str = "h"):
+    """Run the sequence-parallel forward on a mesh: ``sp_apply(params,
+    spec, x, mesh)`` == ``MViT(spec).apply({"params": params}, x)`` (eval
+    mode, no head activation), with the big early blocks' activations
+    sharded ``1/n_sp`` per device along the grid's ``shard_axis`` ("h"
+    rows, or "t" frames — the flagship 448 config T-shards up to 8-way
+    through all 16 blocks, vs 2-way on H)."""
     from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
 
@@ -370,7 +402,7 @@ def sp_apply(params, spec, x, mesh, *, axis_name: str = "sp",
 
     def fn(params_, x_):
         return sp_forward(params_, spec, x_, axis_name=axis_name,
-                          n_sp=n_sp, dtype=dtype)
+                          n_sp=n_sp, dtype=dtype, shard_axis=shard_axis)
 
     return shard_map(
         fn, mesh=mesh,

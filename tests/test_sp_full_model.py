@@ -57,10 +57,11 @@ def _dense_logits(cfg, module, params, x):
     return np.asarray(out)
 
 
-def _sp_logits(cfg, params, x, n_sp):
+def _sp_logits(cfg, params, x, n_sp, shard_axis="h"):
     spec = build_mvit_spec(cfg)
     mesh = Mesh(np.array(jax.devices()[:n_sp]), ("sp",))
-    logits = sp_apply(params, spec, jnp.asarray(x), mesh)
+    logits = sp_apply(params, spec, jnp.asarray(x), mesh,
+                      shard_axis=shard_axis)
     return np.asarray(jax.nn.softmax(logits, axis=-1))
 
 
@@ -83,6 +84,58 @@ def test_full_model_parity(cls_on, expand_front, n_sp):
     want = _dense_logits(cfg, module, params, x)
     got = _sp_logits(cfg, params, x, n_sp)
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("cls_on,n_sp", [
+    (False, 2),
+    (False, 4),   # T=4 post-patch: every shard holds ONE frame + halos
+    (True, 2),
+])
+def test_t_axis_full_model_parity(cls_on, n_sp):
+    """T-frame sharding (shard_axis="t"): the tiny schedule's temporal
+    pooling strides are 1 everywhere, so ALL blocks stay sharded at any
+    n_sp dividing T — the axis the flagship 448 config scales past 2-way
+    (H=112 trips the kv-stride-8 alignment; T=8 does not)."""
+    cfg = _cfg(cls_on=cls_on)
+    module, params = build_model(cfg)
+    spec = build_mvit_spec(cfg)
+    assert plan_sp_blocks(spec, n_sp, "t") == len(spec.blocks)
+
+    x = np.random.RandomState(3).randn(2, 8, 32, 32, 3).astype(np.float32)
+    want = _dense_logits(cfg, module, params, x)
+    got = _sp_logits(cfg, params, x, n_sp, shard_axis="t")
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_t_axis_gradients():
+    """Gradients through the T-axis halo exchanges/gathers match dense."""
+    cfg = _cfg()
+    module, params = build_model(cfg)
+    spec = build_mvit_spec(cfg)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sp",))
+    x = jnp.asarray(
+        np.random.RandomState(4).randn(1, 8, 32, 32, 3).astype(np.float32))
+
+    def sp_loss(p):
+        return sp_apply(p, spec, x, mesh, shard_axis="t").sum()
+
+    def dense_loss(p):
+        # train=True: eval mode applies the softmax head activation, which
+        # makes sum(out) constant; droppath/dropout are 0 so the math is
+        # identical to the SP path's activation-free logits
+        rngs = {"dropout": jax.random.PRNGKey(0),
+                "droppath": jax.random.PRNGKey(1)}
+        out = module.apply({"params": p}, [x], train=True, rngs=rngs)
+        return out.sum()
+
+    g_sp = jax.tree.leaves(jax.grad(sp_loss)(params))
+    g_dense = jax.tree.leaves(jax.grad(dense_loss)(params))
+    assert len(g_sp) == len(g_dense)
+    for a, b in zip(g_sp, g_dense):
+        scale = max(1.0, float(jnp.abs(b).max()))
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale,
+            atol=3e-5, rtol=1e-4)
 
 
 def test_non_dividing_mesh_falls_back_dense():
