@@ -55,6 +55,45 @@ def test_halo_pool_matches_dense():
                                    atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("shard_axis", [1, 2])
+@pytest.mark.parametrize("mode,kernel,stride", [
+    ("conv", (3, 5, 5), (1, 2, 2)),   # halo 2 on H, 1 on T
+    ("conv", (5, 3, 3), (1, 1, 1)),   # halo 2 on T
+    ("max", (3, 3, 3), (2, 2, 2)),
+    ("avg", (3, 3, 3), (1, 1, 1)),
+])
+def test_sp_pool_volume_axes_and_halos(shard_axis, mode, kernel, stride):
+    """sp_pool_volume must match the dense op for BOTH shard axes (H rows,
+    T frames), halos wider than 1, and all three pooling modes (conv zero
+    pad, max -inf pad, avg count-include-pad)."""
+    from aicity_action_tpu.ops.pooling import depthwise_conv3d, pool3d
+
+    rs = np.random.RandomState(1)
+    B, T, H, W, C = 2, 8, 16, 8, 8
+    x = jnp.asarray(rs.randn(B, T, H, W, C), jnp.float32)
+    w = (jnp.asarray(rs.randn(*kernel, 1, C), jnp.float32)
+         if mode == "conv" else None)
+    pad = tuple(k // 2 for k in kernel)
+    if mode == "conv":
+        want = depthwise_conv3d(x, w, stride, pad)
+    else:
+        want = pool3d(x, mode, kernel, stride, pad)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("seq",))
+    spec = [None, None, None]
+    spec[shard_axis - 1] = "seq"
+    f = shard_map(
+        lambda xl: sp.sp_pool_volume(
+            xl, "seq", mode=mode, kernel=kernel, stride=stride,
+            conv_weights=w, shard_axis=shard_axis),
+        mesh=mesh,
+        in_specs=(P(None, *spec),),
+        out_specs=P(None, *spec),
+    )
+    np.testing.assert_allclose(np.asarray(f(x)), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
 def _params(rs, C):
     def r(*shape):
         return jnp.asarray(rs.randn(*shape) * 0.1, jnp.float32)
