@@ -3,16 +3,19 @@
 The reference has NO sequence parallelism (SURVEY §5.7) — it scales long
 token counts algorithmically (pooling + windowing). This module is the
 TPU-native scaling path BEYOND the reference, for regimes its design can't
-reach (crops ≥ 896, whole-video token streams): shard the token grid's H
-axis across the mesh and keep every op local except two cheap exchanges.
+reach (crops ≥ 896, whole-video token streams): shard one token-grid axis
+— H rows or T frames — across the mesh and keep every op local except two
+cheap exchanges. (The axis choice matters for alignment: see
+``sp_model.plan_sp_blocks`` — the flagship 448 config H-shards 2-way but
+T-shards 8-way through all blocks.)
 
 Why MViT makes this easy (and ring attention unnecessary): K/V are pooled
 by (1, 8, 8)+ strides before attention, so the GLOBAL pooled K/V is tiny
 (1568 tokens at 448 crop). The decomposition per block:
 
 - LayerNorm / qkv projection / MLP: token-local, no communication.
-- 3x3x3 pool convs: one-row halo exchange along H (`halo_exchange_h`,
-  two `ppermute`s over the ICI ring).
+- 3x3x3 pool convs: a ``k//2``-slice halo exchange along the sharded axis
+  (`halo_exchange`, two `ppermute`s over the ICI ring).
 - attention: local q shard against the ALL-GATHERED pooled K/V
   (`all_gather` of ~0.3 MB — negligible on ICI).
 

@@ -68,8 +68,7 @@ def _strides_for(bs, comp: int):
     skv = bs.stride_kv[comp] if active(bs.kernel_kv, bs.stride_kv) else 1
     kq = bs.kernel_q[comp] if active(bs.kernel_q, bs.stride_q) else 1
     kkv = bs.kernel_kv[comp] if active(bs.kernel_kv, bs.stride_kv) else 1
-    s_skip = bs.stride_q[comp] if active(bs.kernel_q, bs.stride_q) else 1
-    k_skip = s_skip + 1 if s_skip > 1 else 1
+    k_skip = sq + 1 if sq > 1 else 1
     return sq, skv, kq, kkv, k_skip
 
 

@@ -860,8 +860,12 @@ class WindowScorer:
 
 
 def save_window_predictions(preds: list, path: str) -> None:
-    with open(path, "wb") as f:
+    # atomic: an interrupted run never leaves a truncated pickle that a
+    # resuming caller would skip as "done"
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         pickle.dump(preds, f)
+    os.replace(tmp, path)
 
 
 def load_window_predictions(path: str) -> list:

@@ -79,6 +79,9 @@ def main(argv=None):
     p.add_argument("opts", nargs=argparse.REMAINDER,
                    help="KEY VALUE config overrides forwarded to every stage")
     args = p.parse_args(argv)
+    if args.expect_f1 is not None and not args.anno_csv:
+        p.error("--expect_f1 requires --anno_csv (the F1 is computed "
+                "against a labeled split)")
     inf_flags = []
     for flag in ("frame_length", "frame_stride", "proposal_stride",
                  "frame_size", "batch_size", "num_workers"):
@@ -94,17 +97,24 @@ def main(argv=None):
     submission = os.path.join(out, "submission.txt")
     summary = {"pyth": args.pyth, "cfg": args.cfg}
 
-    # 1. convert (+verify)
+    # 1. convert (+verify). A cached report only skips the stage if it
+    # already contains what this invocation asks for (a report produced
+    # under --skip_verify does not satisfy a verifying rerun).
+    report = None
     if os.path.exists(report_path):
-        print(f"[fire_drill] convert: {report_path} exists, skipping")
-    else:
+        report = json.load(open(report_path))
+        if args.skip_verify or "verify" in report:
+            print(f"[fire_drill] convert: {report_path} exists, skipping")
+        else:
+            report = None
+    if report is None:
         cmd = ["tools/convert_checkpoint.py", "--pyth", args.pyth,
                "--cfg", args.cfg, "--out", conv_dir,
                "--report", report_path]
         if not args.skip_verify:
             cmd.append("--verify")
         _run("convert", cmd + args.opts)
-    report = json.load(open(report_path))
+        report = json.load(open(report_path))
     summary["convert"] = report.get("counts", {})
     orbax_path = report["orbax_path"]
     bad = (summary["convert"].get("shape_mismatched", 0)
@@ -112,6 +122,15 @@ def main(argv=None):
     if bad:
         print(f"[fire_drill] WARNING: {bad} tensors did not load cleanly "
               f"(see {report_path})", file=sys.stderr)
+    if "verify" in report:
+        summary["verify"] = report["verify"]
+        if not report["verify"].get("ok", False):
+            # the logit check is the drill's core safeguard: a converted
+            # model that diverges from the torch oracle must not silently
+            # produce a submission
+            print(f"[fire_drill] FAILED: converted logits diverge from the "
+                  f"torch oracle ({report['verify']})", file=sys.stderr)
+            sys.exit(3)
 
     # 2. sliding-window scoring of every listed video
     done_marker = os.path.join(preds_dir, ".done")

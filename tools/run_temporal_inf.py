@@ -93,6 +93,11 @@ def main():
     n_path = 2 if cfg.MODEL.ARCH in cfg.MODEL.MULTI_PATHWAY_ARCH else 1
     videos = [ln.strip() for ln in open(args.video_lst) if ln.strip()]
     for name in videos:
+        stem = os.path.splitext(name)[0]
+        out_pkl = os.path.join(args.out_dir, f"{stem}.pkl")
+        if os.path.exists(out_pkl):  # per-video resume (saves are atomic)
+            logger.info("%s: %s exists, skipping", name, out_pkl)
+            continue
         t0 = time.time()
         ds = WindowDataset(
             os.path.join(args.video_path, name),
@@ -109,9 +114,7 @@ def main():
             backend=cfg.DATA.DECODING_BACKEND,
         )
         preds = scorer.score_video(ds)
-        stem = os.path.splitext(name)[0]
-        save_window_predictions(
-            preds, os.path.join(args.out_dir, f"{stem}.pkl"))
+        save_window_predictions(preds, out_pkl)
         dt = time.time() - t0
         logger.info("%s: %d windows in %.1fs (%.2f win/s)",
                     name, len(preds), dt, len(preds) / max(dt, 1e-9))
