@@ -291,6 +291,41 @@ def _sp_block(xv, cls_tok, bp, bs, thw, *, mode, qkv_bias,
     return vol(x_out, loc), cls_res, thw_q
 
 
+def dense_embed(params, spec, x, dtype=jnp.float32):
+    """Patch embed + positional embeddings, dense (no sharding): input
+    ``[B, T, S, S, 3]`` → ``(xv [B, T', H', W', C], cls_tok [B, 1, C] |
+    None)``. Shared by the sequence-parallel forward (which slices the
+    result per shard) and the pipeline-parallel stage-0 executor.
+    Mirrors models/mvit.py PatchEmbed + pos-embed broadcast
+    (reference stem_helper.py:308-338, video_model_builder.py:1196-1223)."""
+    sp = spec
+    B = x.shape[0]
+    pe = params["patch_embed"]
+    s, p = sp.patch_stride, sp.patch_padding
+    xv = lax.conv_general_dilated(
+        x.astype(dtype), pe["kernel"].astype(dtype), window_strides=s,
+        padding=[(p[0], p[0]), (p[1], p[1]), (p[2], p[2])],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    ) + pe["bias"].astype(dtype)
+    T, H, W = xv.shape[1], xv.shape[2], xv.shape[3]
+
+    if sp.sep_pos_embed:
+        pos = (params["pos_embed_spatial"].reshape(1, 1, H, W, sp.embed_dim)
+               + params["pos_embed_temporal"].reshape(1, T, 1, 1,
+                                                      sp.embed_dim))
+    else:
+        n_cls = 1 if sp.cls_embed else 0
+        pos = params["pos_embed"][:, n_cls:].reshape(1, T, H, W,
+                                                     sp.embed_dim)
+    cls_tok = None
+    if sp.cls_embed:
+        cls_tok = jnp.tile(params["cls_token"].astype(dtype), (B, 1, 1))
+        cls_pos = (params["pos_embed_class"] if sp.sep_pos_embed
+                   else params["pos_embed"][:, :1])
+        cls_tok = cls_tok + cls_pos.astype(dtype)
+    return xv + pos.astype(dtype), cls_tok
+
+
 def sp_forward(params, spec, x, *, axis_name: str | None,
                n_sp: int, dtype=jnp.float32, shard_axis: str = "h"):
     """Full MViT forward with the token grid's ``shard_axis`` ("h" rows or
@@ -308,31 +343,8 @@ def sp_forward(params, spec, x, *, axis_name: str | None,
 
     # patch embed: computed dense (it is ~3% of model FLOPs; replicating
     # it avoids a 3-row input halo), then each shard slices its H rows
-    pe = params["patch_embed"]
-    k, s, p = sp.patch_kernel, sp.patch_stride, sp.patch_padding
-    xv = lax.conv_general_dilated(
-        x.astype(dtype), pe["kernel"].astype(dtype), window_strides=s,
-        padding=[(p[0], p[0]), (p[1], p[1]), (p[2], p[2])],
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    ) + pe["bias"].astype(dtype)
+    xv, cls_tok = dense_embed(params, spec, x, dtype)
     T, H, W = xv.shape[1], xv.shape[2], xv.shape[3]
-
-    # positional embeddings, built in volume form and H-sliced
-    if sp.sep_pos_embed:
-        pos = (params["pos_embed_spatial"].reshape(1, 1, H, W, sp.embed_dim)
-               + params["pos_embed_temporal"].reshape(1, T, 1, 1,
-                                                      sp.embed_dim))
-    else:
-        n_cls = 1 if sp.cls_embed else 0
-        pos = params["pos_embed"][:, n_cls:].reshape(1, T, H, W,
-                                                     sp.embed_dim)
-    cls_tok = None
-    if sp.cls_embed:
-        cls_tok = jnp.tile(params["cls_token"].astype(dtype), (B, 1, 1))
-        cls_pos = (params["pos_embed_class"] if sp.sep_pos_embed
-                   else params["pos_embed"][:, :1])
-        cls_tok = cls_tok + cls_pos.astype(dtype)
-    xv = xv + pos.astype(dtype)
 
     # plan_sp_blocks returns 0 when the sharded extent % n_sp != 0 (or no
     # block geometry is shard-aligned); in that case run fully dense —
