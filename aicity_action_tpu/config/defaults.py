@@ -194,6 +194,19 @@ def get_cfg() -> CfgNode:
     _C.MVIT.POOL_SKIP_USE_CONV = False
     _C.MVIT.NO_NORM_BEFORE_AVG = False
 
+    # Mixture-of-Experts MLPs (beyond-reference; models/moe.py +
+    # parallel/ep.py expert parallelism). Disabled by default — every
+    # reference config is MoE-free.
+    _C.MVIT.MOE = CfgNode()
+    _C.MVIT.MOE.ENABLE = False
+    _C.MVIT.MOE.NUM_EXPERTS = 8
+    _C.MVIT.MOE.TOP_K = 2
+    _C.MVIT.MOE.CAPACITY_FACTOR = 1.25
+    # block indices whose MLP is an expert bank; [] = every other block
+    _C.MVIT.MOE.LAYERS = []
+    # weight on the Switch load-balance auxiliary loss in the train step
+    _C.MVIT.MOE.AUX_LOSS_WEIGHT = 0.01
+
     # ---------------------------------------------------------- SLOWFAST
     _C.SLOWFAST = CfgNode()
     _C.SLOWFAST.BETA_INV = 8

@@ -54,6 +54,7 @@ def make_train_step(
     gather_before_loss: bool = False,
     data_axis: str | None = None,
     num_classes: int | None = None,
+    moe_aux_weight: float = 0.0,
 ) -> Callable:
     """Build the jittable train step.
 
@@ -98,13 +99,22 @@ def make_train_step(
         n_valid = batch.get("n_valid")
 
         def compute_loss(params):
+            # MoE models (MVIT.MOE.ENABLE) sow their Switch load-balance
+            # losses into "intermediates"; collect them only when a weight
+            # is configured so the non-MoE step is byte-identical
+            mutable = (["batch_stats", "intermediates"]
+                       if moe_aux_weight else ["batch_stats"])
             preds, new_model_state = module.apply(
                 {"params": params, **state.model_state},
                 inputs,
                 train=True,
                 rngs={"dropout": dropout_rng, "droppath": droppath_rng},
-                mutable=["batch_stats"],
+                mutable=mutable,
             )
+            if moe_aux_weight:
+                new_model_state = dict(new_model_state)
+                aux_leaves = jax.tree.leaves(
+                    new_model_state.pop("intermediates", {}))
             if n_valid is None:
                 loss = loss_func(preds, labels)
             else:
@@ -113,6 +123,9 @@ def make_train_step(
                     per_sample.dtype)
                 loss = (per_sample * mask).sum() / n_valid.astype(
                     per_sample.dtype)
+            if moe_aux_weight and aux_leaves:
+                loss = loss + moe_aux_weight * (
+                    sum(aux_leaves) / len(aux_leaves))
             return loss, (preds, new_model_state)
 
         (loss, (preds, new_model_state)), grads = jax.value_and_grad(

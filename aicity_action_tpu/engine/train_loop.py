@@ -145,6 +145,8 @@ def train(cfg):
             module, tx, cfg.MODEL.LOSS_FUNC, mixup_fn=mixup_fn,
             gather_before_loss=cfg.TRAIN.GATHER_BEFORE_LOSS,
             num_classes=cfg.MODEL.NUM_CLASSES,
+            moe_aux_weight=(cfg.MVIT.MOE.AUX_LOSS_WEIGHT
+                            if cfg.MVIT.MOE.ENABLE else 0.0),
         )
         jitted_eval = jax.jit(make_eval_step(module))
     jitted_train = jax.jit(train_step, donate_argnums=0)
@@ -382,6 +384,8 @@ def _long_cycle_rebuild(cfg, old_state, place_state):
         module, tx, cfg.MODEL.LOSS_FUNC, mixup_fn=mixup_fn,
         gather_before_loss=cfg.TRAIN.GATHER_BEFORE_LOSS,
         num_classes=cfg.MODEL.NUM_CLASSES,
+        moe_aux_weight=(cfg.MVIT.MOE.AUX_LOSS_WEIGHT
+                        if cfg.MVIT.MOE.ENABLE else 0.0),
     )
     return (module, state, train_loader, steps_per_epoch, lr_schedule,
             mixup_fn, jax.jit(train_step, donate_argnums=0),

@@ -42,6 +42,7 @@ from .common import (
     trunc_normal_init,
 )
 from .heads import TransformerBasicHead, ContrastiveProjectionHead
+from .moe import MoEMlp, MoESpec
 
 Triple = tuple[int, int, int]
 
@@ -58,6 +59,7 @@ class BlockSpec:
     stride_q: Triple | tuple
     stride_kv: Triple | tuple
     drop_path: float
+    moe: bool = False  # MLP is an MoE expert bank (models/moe.py)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,6 +106,8 @@ class MViTSpec:
     roi_scale_factor: int = 16
     roi_aligned: bool = True
     use_spatial_maxpool_before_proj: bool = False
+    # Mixture-of-Experts MLPs (beyond-reference; models/moe.py)
+    moe: "MoESpec" = MoESpec()
 
     @property
     def patch_dims(self) -> Triple:
@@ -176,6 +180,20 @@ def build_mvit_spec(cfg) -> MViTSpec:
 
     dpr = np.linspace(0, m.DROPPATH_RATE, depth)
 
+    moe_spec = MoESpec()
+    moe_layers: frozenset = frozenset()
+    if m.MOE.ENABLE:
+        layers = tuple(int(i) for i in m.MOE.LAYERS)
+        if not layers:
+            layers = tuple(range(1, depth, 2))  # V-MoE "every other" default
+        moe_spec = MoESpec(
+            num_experts=int(m.MOE.NUM_EXPERTS),
+            top_k=int(m.MOE.TOP_K),
+            capacity_factor=float(m.MOE.CAPACITY_FACTOR),
+            layers=layers,
+        )
+        moe_layers = frozenset(layers)
+
     blocks = []
     num_heads = m.NUM_HEADS
     embed_dim = m.EMBED_DIM
@@ -193,6 +211,15 @@ def build_mvit_spec(cfg) -> MViTSpec:
                 dim_mul[i + 1],
                 divisor=round_width(num_heads, head_mul[i + 1]),
             )
+        moe_here = i in moe_layers
+        if moe_here and not (m.CHANNEL_EXPAND_FRONT or embed_dim == dim_out):
+            # the MoE bank replaces the MLP, which on non-expand-front
+            # channel-change blocks also carries the dim change + normed
+            # residual projection — keep those on the dense FusedMlp
+            raise ValueError(
+                f"MVIT.MOE.LAYERS includes block {i}, which changes "
+                f"channels {embed_dim}->{dim_out}; MoE blocks must have "
+                "dim == dim_out (pick non-transition blocks)")
         blocks.append(
             BlockSpec(
                 dim=embed_dim,
@@ -203,6 +230,7 @@ def build_mvit_spec(cfg) -> MViTSpec:
                 stride_q=stride_q[i],
                 stride_kv=stride_kv[i],
                 drop_path=float(dpr[i]),
+                moe=moe_here,
             )
         )
 
@@ -246,6 +274,7 @@ def build_mvit_spec(cfg) -> MViTSpec:
         roi_aligned=cfg.DETECTION.ALIGNED,
         use_spatial_maxpool_before_proj=(
             cfg.DETECTION.USE_SPATIAL_MAXPOOL_BEFORE_PROJ),
+        moe=moe_spec,
     )
 
 
@@ -575,6 +604,7 @@ class MultiScaleBlock(nn.Module):
     channel_expand_front: bool
     mlp_ratio: float
     drop_rate: float = 0.0
+    moe_spec: MoESpec = MoESpec()  # read only when spec.moe
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -638,15 +668,30 @@ class MultiScaleBlock(nn.Module):
         dp = DropPath(s.drop_path)
         x = x_res + dp(x_block, deterministic=deterministic)
 
-        x_mlp, x_norm = FusedMlp(
-            hidden_features=int(dim_att * self.mlp_ratio),
-            out_features=s.dim_out,
-            drop_rate=self.drop_rate,
-            need_normed=dim_att != s.dim_out,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="mlp",
-        )(x, n2_scale, n2_bias, deterministic=deterministic)
+        if s.moe:
+            # MoE expert bank replaces the dense MLP (models/moe.py);
+            # build_mvit_spec guarantees dim_att == s.dim_out here, so the
+            # normed-residual projection branch below never triggers
+            x_mlp, x_norm = MoEMlp(
+                num_experts=self.moe_spec.num_experts,
+                top_k=self.moe_spec.top_k,
+                capacity_factor=self.moe_spec.capacity_factor,
+                hidden_features=int(dim_att * self.mlp_ratio),
+                out_features=s.dim_out,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="mlp",
+            )(x, n2_scale, n2_bias, deterministic=deterministic)
+        else:
+            x_mlp, x_norm = FusedMlp(
+                hidden_features=int(dim_att * self.mlp_ratio),
+                out_features=s.dim_out,
+                drop_rate=self.drop_rate,
+                need_normed=dim_att != s.dim_out,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="mlp",
+            )(x, n2_scale, n2_bias, deterministic=deterministic)
 
         if dim_att != s.dim_out:
             # (non-expand-front) channel change in the MLP: residual comes
@@ -859,6 +904,7 @@ class MViT(nn.Module):
                 channel_expand_front=sp.channel_expand_front,
                 mlp_ratio=sp.mlp_ratio,
                 drop_rate=sp.drop_rate,
+                moe_spec=sp.moe,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"blocks_{i}",
