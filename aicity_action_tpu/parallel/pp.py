@@ -36,12 +36,17 @@ Design — TPU-first, but deliberately NOT a single GSPMD program:
 
 The block math reuses ``sp_model._sp_block`` (axis_name=None = dense),
 which is parity-tested against ``MViT.apply`` — so pipeline parity
-inherits the same kernel-level guarantees. Forward math is the
-deterministic eval path (no dropout/drop-path); training through the
-pipeline is exact for the flagship recipes' eval-equal losses and for
-any config with the stochastic rates at 0 (the aicity fine-tune uses
-drop-path 0.1 — stochastic-depth support would need per-microbatch rng
-plumbing through the stage boundary, noted as future work).
+inherits the same kernel-level guarantees. Stochastic depth (the aicity
+fine-tune trains with drop-path 0.1) is supported by drawing the
+pre-scaled per-sample masks per (block, GLOBAL sample index) at the
+driver and shipping each stage its slice alongside the activations: the
+masks — not the rng — cross stage boundaries, so gradients are exactly
+invariant to the microbatch count even with stochastic depth on
+(test-pinned). ``init_optimizer(tx)`` / ``opt_step`` attach an optax
+transform with per-stage optimizer state resident on each stage's
+device (no moment is ever replicated). Dropout inside attention/MLP is
+not plumbed (the aicity recipes train those at 0; head dropout would
+live on the last stage only).
 """
 
 from __future__ import annotations
@@ -215,25 +220,29 @@ class MViTPipeline:
                       channel_expand_front=spec.channel_expand_front,
                       axis_name=None, n_sp=1, dtype=dtype)
 
-        def run_blocks(p, xv, cls, lo, hi):
+        def run_blocks(p, xv, cls, lo, hi, dpm):
             thw = sched[lo]
             for i in range(lo, hi):
-                xv, cls, thw = _sp_block(xv, cls, p[f"blocks_{i}"],
-                                         spec.blocks[i], thw, **blk_kw)
+                xv, cls, thw = _sp_block(
+                    xv, cls, p[f"blocks_{i}"], spec.blocks[i], thw,
+                    droppath=(dpm[i - lo, 0], dpm[i - lo, 1]), **blk_kw)
             return xv, cls
 
         def make_stage_fn(s):
             lo, hi = self.ranges[s]
             first, last = s == 0, s == self.n_stages - 1
 
-            def fn(p, carry):
+            def fn(p, carry, dpm):
+                # dpm [hi-lo, 2, B]: pre-scaled stochastic-depth masks
+                # (all-ones at eval) — drawn by the driver per
+                # (block, GLOBAL sample), so microbatching is invariant
                 if first:
                     xv, cls = dense_embed(p, spec, carry, dtype)
                 else:
                     xv, cls = carry
                     if not spec.cls_embed:
                         cls = None  # [B, 0, C] placeholder -> real None
-                xv, cls = run_blocks(p, xv, cls, lo, hi)
+                xv, cls = run_blocks(p, xv, cls, lo, hi, dpm)
                 if last:
                     return _dense_head(p, spec, xv, cls, dtype)
                 if cls is None:
@@ -250,23 +259,23 @@ class MViTPipeline:
         self._fwd = [jax.jit(f) for f in self._stage_fns]
 
         def make_bwd_last(fn):
-            def loss_fn(p, carry, labels, scale):
-                logits = fn(p, carry)
+            def loss_fn(p, carry, labels, scale, dpm):
+                logits = fn(p, carry, dpm)
                 logp = jax.nn.log_softmax(logits.astype(jnp.float32))
                 loss = -jnp.take_along_axis(
                     logp, labels[:, None], axis=1).mean()
                 return loss * scale
 
-            def bwd(p, carry, labels, scale):
+            def bwd(p, carry, labels, scale, dpm):
                 (loss), grads = jax.value_and_grad(
-                    loss_fn, argnums=(0, 1))(p, carry, labels, scale)
+                    loss_fn, argnums=(0, 1))(p, carry, labels, scale, dpm)
                 return loss, grads[0], grads[1]
 
             return bwd
 
         def make_bwd(fn):
-            def bwd(p, carry, dy):
-                _, vjp = jax.vjp(fn, p, carry)
+            def bwd(p, carry, dy, dpm):
+                _, vjp = jax.vjp(lambda pp, cc: fn(pp, cc, dpm), p, carry)
                 dp, dcarry = vjp(dy)
                 return dp, dcarry
 
@@ -285,31 +294,64 @@ class MViTPipeline:
     def _to_stage(self, val, s: int):
         return jax.device_put(val, self.devices[s])
 
+    def _droppath_masks(self, key, B: int):
+        """Pre-scaled stochastic-depth masks ``[depth, 2, B]`` (attention
+        branch, MLP branch) drawn per (block, GLOBAL sample) — reference
+        common.py drop_path semantics (keep w.p. 1-rate, scale 1/(1-rate)).
+        All-ones when ``key`` is None (eval) or every rate is 0, so the
+        deterministic path is the rate-0 special case of one executable."""
+        depth = len(self.spec.blocks)
+        masks = np.ones((depth, 2, B), np.float32)
+        if key is None:
+            return masks
+        for i, bs in enumerate(self.spec.blocks):
+            rate = float(bs.drop_path)
+            if rate <= 0.0:
+                continue
+            keep = 1.0 - rate
+            bern = jax.random.bernoulli(
+                jax.random.fold_in(key, i), keep, (2, B))
+            masks[i] = np.asarray(bern, np.float32) / keep
+        return masks
+
+    def _stage_masks(self, masks, s: int):
+        lo, hi = self.ranges[s]
+        return jnp.asarray(masks[lo:hi])
+
     def apply(self, x, n_microbatches: int = 1):
         """Pipelined inference: logits ``[B, num_classes]`` on stage -1's
         device. With M > 1 microbatches the M×S stage executions overlap
         across devices (fill/drain bubble only)."""
         B = x.shape[0]
         assert B % n_microbatches == 0, (B, n_microbatches)
+        masks = np.split(self._droppath_masks(None, B), n_microbatches, 2)
         outs = []
-        for xm in np.split(np.asarray(x), n_microbatches):
+        for m, xm in enumerate(np.split(np.asarray(x), n_microbatches)):
             carry = self._to_stage(jnp.asarray(xm, self.dtype), 0)
             for s in range(self.n_stages):
-                carry = self._fwd[s](self.stage_params[s], carry)
+                carry = self._fwd[s](self.stage_params[s], carry,
+                                     self._stage_masks(masks[m], s))
                 if s + 1 < self.n_stages:
                     carry = self._to_stage(carry, s + 1)
             outs.append(carry)
         return jnp.concatenate(outs, axis=0)
 
-    def loss_and_grads(self, x, labels, n_microbatches: int = 1):
+    def loss_and_grads(self, x, labels, n_microbatches: int = 1,
+                       droppath_key=None):
         """GPipe fwd/bwd: returns ``(loss, stage_grads)`` where ``loss`` is
         the softmax-CE mean over the full batch and ``stage_grads[s]`` is
-        the gradient pytree of ``stage_params[s]`` on its device."""
+        the gradient pytree of ``stage_params[s]`` on its device.
+
+        ``droppath_key``: optional PRNG key enabling stochastic depth at
+        the spec's per-block rates. Masks are drawn per (block, GLOBAL
+        sample) before the microbatch split, so the gradients are exactly
+        invariant to ``n_microbatches`` (test-pinned)."""
         B = x.shape[0]
         M = n_microbatches
         assert B % M == 0, (B, M)
         x_mbs = np.split(np.asarray(x), M)
         y_mbs = np.split(np.asarray(labels), M)
+        m_mbs = np.split(self._droppath_masks(droppath_key, B), M, 2)
         scale = 1.0 / M  # batch mean = mean of equal-size microbatch means
 
         # ---- forward fill: stash each stage's INPUT per microbatch
@@ -321,7 +363,9 @@ class MViTPipeline:
                 inputs[s][m] = carry
                 if s + 1 < self.n_stages:
                     carry = self._to_stage(
-                        self._fwd[s](self.stage_params[s], carry), s + 1)
+                        self._fwd[s](self.stage_params[s], carry,
+                                     self._stage_masks(m_mbs[m], s)),
+                        s + 1)
 
         # ---- backward drain (reverse stage order per microbatch)
         grads = [None] * self.n_stages
@@ -330,25 +374,60 @@ class MViTPipeline:
             ym = self._to_stage(jnp.asarray(y_mbs[m]), self.n_stages - 1)
             loss_m, dp, dcarry = self._bwd[-1](
                 self.stage_params[-1], inputs[-1][m], ym,
-                jnp.float32(scale))
+                jnp.float32(scale), self._stage_masks(m_mbs[m], -1))
             losses.append(loss_m)
             grads[-1] = dp if grads[-1] is None else self._acc[-1](
                 grads[-1], dp)
             for s in range(self.n_stages - 2, -1, -1):
                 dcarry = self._to_stage(dcarry, s)
                 dp, dcarry = self._bwd[s](
-                    self.stage_params[s], inputs[s][m], dcarry)
+                    self.stage_params[s], inputs[s][m], dcarry,
+                    self._stage_masks(m_mbs[m], s))
                 grads[s] = dp if grads[s] is None else self._acc[s](
                     grads[s], dp)
         loss = jnp.sum(jnp.stack(losses))
         return loss, grads
 
-    def sgd_step(self, x, labels, lr: float, n_microbatches: int = 1):
+    def sgd_step(self, x, labels, lr: float, n_microbatches: int = 1,
+                 droppath_key=None):
         """One in-place SGD update (dryrun/test convenience); returns loss."""
-        loss, grads = self.loss_and_grads(x, labels, n_microbatches)
+        loss, grads = self.loss_and_grads(x, labels, n_microbatches,
+                                          droppath_key)
         for s in range(self.n_stages):
             self.stage_params[s] = self._sgd(
                 self.stage_params[s], grads[s], jnp.float32(lr))
+        return loss
+
+    def init_optimizer(self, tx):
+        """Attach an optax transform: per-stage optimizer state lives on
+        its stage's device (a pipeline-parallel ZeRO — no moment is ever
+        replicated), updates run as per-stage jitted executables."""
+        self._tx = tx
+        self.opt_states = [
+            self._to_stage(tx.init(jax.device_get(p)), s)
+            for s, p in enumerate(self.stage_params)
+        ]
+
+        def upd(g, o, p):
+            updates, new_o = tx.update(g, o, p)
+            import optax
+
+            return optax.apply_updates(p, updates), new_o
+
+        self._opt_upd = [jax.jit(upd) for _ in range(self.n_stages)]
+
+    def opt_step(self, x, labels, n_microbatches: int = 1,
+                 droppath_key=None):
+        """One full training step (fwd + recompute-bwd + optax update) —
+        the pipeline equivalent of engine/steps.make_train_step's
+        fwd/bwd/update. Returns the batch loss."""
+        assert getattr(self, "_tx", None) is not None, \
+            "call init_optimizer(tx) first"
+        loss, grads = self.loss_and_grads(x, labels, n_microbatches,
+                                          droppath_key)
+        for s in range(self.n_stages):
+            self.stage_params[s], self.opt_states[s] = self._opt_upd[s](
+                grads[s], self.opt_states[s], self.stage_params[s])
         return loss
 
     def merged_params(self):

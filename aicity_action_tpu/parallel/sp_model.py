@@ -135,13 +135,19 @@ def _dense(x, p, dtype):
 
 def _sp_block(xv, cls_tok, bp, bs, thw, *, mode, qkv_bias,
               q_pool_residual, channel_expand_front,
-              axis_name, n_sp, dtype, shard_axis="h"):
+              axis_name, n_sp, dtype, shard_axis="h", droppath=None):
     """One MultiScaleBlock on a volume ``xv`` whose ``shard_axis`` ("h" →
     ``[B, T, H_local, W, C]``, "t" → ``[B, T_local, H, W, C]``) is
     mesh-sharded (+ replicated ``cls_tok [B, 1, C]`` or None).
     ``axis_name=None`` runs the identical math dense (n_sp must be 1).
     Returns (new_xv, new_cls, new_thw). Mirrors models/mvit.py
     MultiScaleBlock/MultiScaleAttention (reference attention.py:86-446).
+
+    ``droppath``: optional PRE-SCALED stochastic-depth masks
+    ``(sm_attn [B], sm_mlp [B])`` (each entry ``bernoulli(keep)/keep``,
+    i.e. 0 or 1/keep — reference common.py drop_path). The caller owns
+    the rng so pipeline stages can draw per-(block, global-sample) masks
+    that are invariant to microbatching (parallel/pp.py).
     """
     comp = _axis_comp(shard_axis)
     g_ax = 1 + comp  # array axis of the sharded grid dim in [B,T,H,W,C]
@@ -263,6 +269,13 @@ def _sp_block(xv, cls_tok, bp, bs, thw, *, mode, qkv_bias,
         x_skip = sp_pool_volume(x_skip, axis_name, mode="max",
                                 kernel=kernel_skip, stride=bs.stride_q,
                                 shard_axis=g_ax)
+    sm_attn = sm_mlp = None
+    if droppath is not None:
+        sm_attn = droppath[0].astype(dtype)[:, None, None]
+        sm_mlp = droppath[1].astype(dtype)[:, None, None]
+        grid_att = grid_att * sm_attn
+        if cls_att is not None:
+            cls_att = cls_att * sm_attn
     x_res = tok(x_skip) + grid_att
     cls_res = (cls_skip + cls_att) if cls_tok is not None else None
 
@@ -276,13 +289,19 @@ def _sp_block(xv, cls_tok, bp, bs, thw, *, mode, qkv_bias,
         return _dense(hdn, bp["mlp"]["fc2"], dtype), tn
 
     mlp_out, x_norm = mlp_of(x_res)
+    if sm_mlp is not None:
+        mlp_out = mlp_out * sm_mlp
     if dim_att != bs.dim_out:
         x_res = _dense(x_norm, bp["proj"], dtype)
         if cls_res is not None:
             c_mlp, c_norm = mlp_of(cls_res)
+            if sm_mlp is not None:
+                c_mlp = c_mlp * sm_mlp
             cls_res = _dense(c_norm, bp["proj"], dtype) + c_mlp
     elif cls_res is not None:
         c_mlp, _ = mlp_of(cls_res)
+        if sm_mlp is not None:
+            c_mlp = c_mlp * sm_mlp
         cls_res = cls_res + c_mlp
     x_out = x_res + mlp_out
 

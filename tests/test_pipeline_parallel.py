@@ -142,3 +142,62 @@ def test_pp_sgd_step_decreases_loss():
     l0 = float(pipe.sgd_step(x, y, lr=0.05, n_microbatches=2))
     l1 = float(pipe.sgd_step(x, y, lr=0.05, n_microbatches=2))
     assert l1 < l0, (l0, l1)
+
+
+def test_pp_droppath_microbatch_invariance_and_effect():
+    """Stochastic depth through the pipe: masks are drawn per (block,
+    GLOBAL sample), so gradients are exactly invariant to the microbatch
+    count; with rate ~1 the surviving model differs from eval."""
+    cfg = _cfg(cls_on=False)
+    cfg.MVIT.DROPPATH_RATE = 0.5
+    module, params = build_model(cfg)
+    spec = build_mvit_spec(cfg)
+    rs = np.random.RandomState(1)
+    x = rs.randn(4, cfg.DATA.NUM_FRAMES, 32, 32, 3).astype(np.float32)
+    y = np.asarray([0, 3, 1, 4], np.int32)
+    pipe = MViTPipeline(params, spec, jax.devices()[:2])
+    key = jax.random.PRNGKey(7)
+
+    ref_loss, ref_grads = pipe.loss_and_grads(
+        x, y, n_microbatches=1, droppath_key=key)
+    for M in (2, 4):
+        loss, grads = pipe.loss_and_grads(
+            x, y, n_microbatches=M, droppath_key=key)
+        np.testing.assert_allclose(float(loss), float(ref_loss), atol=1e-6)
+        for a, b in zip(jax.tree.leaves(ref_grads), jax.tree.leaves(grads)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=2e-6)
+    # masks bite: the stochastic loss differs from the deterministic one
+    det_loss, _ = pipe.loss_and_grads(x, y, n_microbatches=1)
+    assert abs(float(ref_loss) - float(det_loss)) > 1e-4
+    # and a fresh key redraws different masks
+    other, _ = pipe.loss_and_grads(
+        x, y, n_microbatches=1, droppath_key=jax.random.PRNGKey(8))
+    assert abs(float(ref_loss) - float(other)) > 1e-6
+
+
+def test_pp_optax_step_with_droppath_trains():
+    """init_optimizer/opt_step: per-stage adamw state on each stage's
+    device; the aicity-style recipe (drop-path on) reduces loss."""
+    import optax
+
+    cfg = _cfg(cls_on=False)
+    cfg.MVIT.DROPPATH_RATE = 0.1
+    module, params = build_model(cfg)
+    spec = build_mvit_spec(cfg)
+    rs = np.random.RandomState(2)
+    x = rs.randn(4, cfg.DATA.NUM_FRAMES, 32, 32, 3).astype(np.float32)
+    y = np.asarray([0, 3, 1, 4], np.int32)
+    pipe = MViTPipeline(params, spec, jax.devices()[:4])
+    pipe.init_optimizer(optax.adamw(3e-3))
+    key = jax.random.PRNGKey(0)
+    losses = [
+        float(pipe.opt_step(x, y, n_microbatches=2,
+                            droppath_key=jax.random.fold_in(key, i)))
+        for i in range(4)
+    ]
+    assert losses[-1] < losses[0], losses
+    # optimizer state lives per stage: each mu leaf sits on its device
+    for s in range(pipe.n_stages):
+        mu = jax.tree.leaves(pipe.opt_states[s])[1]
+        assert list(mu.devices())[0] == pipe.devices[s]
