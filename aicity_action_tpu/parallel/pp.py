@@ -205,6 +205,12 @@ class MViTPipeline:
                  dtype=jnp.float32):
         n_stages = n_stages or len(devices)
         assert len(devices) >= n_stages, (len(devices), n_stages)
+        if any(getattr(b, "moe", False) for b in spec.blocks):
+            # _sp_block runs the dense FusedMlp math; MoE expert banks
+            # have a different param layout (and their own scaling axis —
+            # dp x ep, parallel/ep.py). Composing pp x ep is future work.
+            raise NotImplementedError(
+                "MViTPipeline does not support MoE blocks; use dp x ep")
         self.spec = spec
         self.dtype = dtype
         self.devices = list(devices)[:n_stages]

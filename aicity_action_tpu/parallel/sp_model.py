@@ -428,6 +428,12 @@ def sp_apply(params, spec, x, mesh, *, axis_name: str = "sp",
     from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
 
+    if any(getattr(b, "moe", False) for b in spec.blocks):
+        # MoE routing uses per-sample capacity over the FULL token set;
+        # token-sharded execution would route over local tokens only and
+        # diverge. Scale MoE models with dp x ep (parallel/ep.py) instead.
+        raise NotImplementedError(
+            "sequence parallelism does not support MoE blocks")
     n_sp = int(mesh.shape[axis_name])
 
     def fn(params_, x_):

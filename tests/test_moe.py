@@ -296,3 +296,40 @@ def test_gspmd_expert_sharded_train_step():
     # updated expert banks keep their "ep" sharding through the step
     w1n = new_state.params["blocks_1"]["mlp"]["fc1_kernel"]
     assert not w1n.sharding.is_fully_replicated
+
+
+def test_moe_aux_survives_act_checkpoint():
+    """nn.remat must not swallow the sown aux losses (ACT_CHECKPOINT on)."""
+    from aicity_action_tpu.models.build import build_model
+
+    cfg = _moe_cfg()
+    cfg.MODEL.ACT_CHECKPOINT = True
+    module, params = build_model(cfg)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 4, 32, 32, 3)), jnp.float32)
+    _, st = module.apply(
+        {"params": params}, [x], train=True,
+        rngs={"dropout": jax.random.PRNGKey(0),
+              "droppath": jax.random.PRNGKey(1)},
+        mutable=["batch_stats", "intermediates"])
+    leaves = jax.tree.leaves(st.get("intermediates", {}))
+    assert len(leaves) == 2 and all(np.isfinite(float(v)) for v in leaves)
+
+
+def test_moe_blocks_rejected_by_sp_and_pp():
+    """Token-sharded SP would change per-sample routing; PP's block math
+    is the dense MLP — both must refuse MoE specs loudly."""
+    from aicity_action_tpu.models.build import build_model
+    from aicity_action_tpu.models.mvit import build_mvit_spec
+    from aicity_action_tpu.parallel.pp import MViTPipeline
+    from aicity_action_tpu.parallel.sp_model import sp_apply
+
+    cfg = _moe_cfg()
+    module, params = build_model(cfg)
+    spec = build_mvit_spec(cfg)
+    with pytest.raises(NotImplementedError, match="MoE"):
+        MViTPipeline(params, spec, jax.devices()[:2])
+    mesh = _mesh((2,), ("sp",))
+    x = jnp.zeros((2, 4, 32, 32, 3), jnp.float32)
+    with pytest.raises(NotImplementedError, match="MoE"):
+        sp_apply(params, spec, x, mesh)
