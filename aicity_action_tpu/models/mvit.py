@@ -332,6 +332,15 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu" and not fa.is_disabled()
 
 
+def _fuse_attn_ln_enabled() -> bool:
+    """Fuse the post-pool per-head LNs (+ v2 q-residual) into the flash
+    kernels (ops/pallas/flash_attention.py fused-LN section). Env-gated
+    for A/B measurement; on by default."""
+    import os
+
+    return os.environ.get("AICITY_TPU_FUSE_ATTN_LN", "1") != "0"
+
+
 class FusedMlp(nn.Module):
     """Pre-LN + MLP, fused into one Pallas kernel on TPU.
 
@@ -510,6 +519,38 @@ class MultiScaleAttention(nn.Module):
         # cls -> LN, attention.py:12-83); its odd sequence lengths go
         # through the padded flash kernel (masked KV columns).
 
+        use_fa = (
+            self.use_flash
+            and not fa.is_disabled()
+            and jax.default_backend() == "tpu"
+        )
+        # Defer the post-pool per-head LNs into the flash kernel when the
+        # fused-LN path can take them (kills ~6 kernel launches per block
+        # and the HBM round-trip of the LONG normalized q; the v2
+        # q-residual rides along in-kernel). Params are declared with the
+        # same names either way (checkpoint layout unchanged).
+        fuse_ln = (
+            use_fa
+            and self.mode == "conv"
+            and not self.has_cls
+            and _fuse_attn_ln_enabled()
+        )
+
+        def _apply_deferred_norm(t, sc, bi):
+            # identical to FusedLayerNorm.__call__ (grouped, eps 1e-5)
+            from ..ops.pallas.layer_norm import (
+                fused_layer_norm,
+                layer_norm_supported,
+            )
+
+            t = t.astype(self.dtype)
+            if _use_pallas() and layer_norm_supported(t.shape, h):
+                return fused_layer_norm(
+                    t, sc.astype(self.dtype), bi.astype(self.dtype),
+                    1e-5, h)
+            ts = t.reshape(*t.shape[:-1], h, d)
+            return _ln_math(ts, sc, bi, 1e-5).reshape(t.shape)
+
         def _pool_fused(t, name, kernel, stride):
             if self.mode == "conv":
                 w = jnp.tile(_pool_param(name, kernel), (1, 1, 1, 1, h))
@@ -523,62 +564,111 @@ class MultiScaleAttention(nn.Module):
             )
             t = (body if cls_tok is None
                  else jnp.concatenate([cls_tok, body], axis=1))
+            ln_par = None
             if self.mode == "conv":
-                t = _norm(name, t, groups=h)
-            return t, new_thw
+                if fuse_ln:
+                    # declare the LN params without applying (same paths
+                    # as FusedLayerNorm — checkpoints unchanged); the norm
+                    # itself fuses into the attention kernel below
+                    ln_par = _LNParams(
+                        param_dtype=self.param_dtype,
+                        name=f"norm_{name}")(d)
+                else:
+                    t = _norm(name, t, groups=h)
+            return t, new_thw, ln_par
 
         out_thw = thw
+        q_ln = k_ln = v_ln = None
         if do_q:
-            q, out_thw = _pool_fused(q, "q", self.kernel_q, self.stride_q)
+            q, out_thw, q_ln = _pool_fused(
+                q, "q", self.kernel_q, self.stride_q)
         if do_kv:
-            k, _ = _pool_fused(k, "k", self.kernel_kv, self.stride_kv)
-            v, _ = _pool_fused(v, "v", self.kernel_kv, self.stride_kv)
+            k, _, k_ln = _pool_fused(k, "k", self.kernel_kv, self.stride_kv)
+            v, _, v_ln = _pool_fused(v, "v", self.kernel_kv, self.stride_kv)
 
         Lq, Lk = q.shape[1], k.shape[1]
-        q4 = q.reshape(B, Lq, h, d)
-        k4 = k.reshape(B, Lk, h, d)
-        v4 = v.reshape(B, Lk, h, d)
-        use_fa = (
-            self.use_flash
-            and not fa.is_disabled()
-            and jax.default_backend() == "tpu"
-        )
-        if use_fa and flash_attention_supported(Lq, Lk, d):
-            fa_fn = flash_attention
-        elif use_fa and fa.flash_attention_padded_supported(Lq, Lk, d):
-            fa_fn = fa.flash_attention_padded
-        else:
-            fa_fn = None
-        if fa_fn is not None:
-            if h == 1:
-                # [B, L, 1, d] == [G, L, d]: zero-copy into the kernel
-                out = fa_fn(
-                    q.reshape(B, Lq, d), k.reshape(B, Lk, d),
-                    v.reshape(B, Lk, d), scale,
-                ).reshape(B, Lq, C)
+        resid_done = False
+        if fuse_ln:
+            flags = (q_ln is not None, k_ln is not None, v_ln is not None)
+            if any(flags) and fa.flash_attention_ln_supported(
+                    Lq, Lk, d, flags):
+                dummy = jnp.ones((d,), self.dtype), jnp.zeros(
+                    (d,), self.dtype)
+                gq, bq = q_ln if q_ln is not None else dummy
+                gk, bk = k_ln if k_ln is not None else dummy
+                gv, bv = v_ln if v_ln is not None else dummy
+
+                def _hm(t, L):  # head-major [B*h, L, d] view
+                    if h == 1:
+                        return t.reshape(B, L, d)
+                    return (t.reshape(B, L, h, d)
+                            .transpose(0, 2, 1, 3).reshape(B * h, L, d))
+
+                out = fa.flash_attention_ln(
+                    _hm(q.astype(self.dtype), Lq),
+                    _hm(k.astype(self.dtype), Lk),
+                    _hm(v.astype(self.dtype), Lk),
+                    gq.astype(self.dtype), bq.astype(self.dtype),
+                    gk.astype(self.dtype), bk.astype(self.dtype),
+                    gv.astype(self.dtype), bv.astype(self.dtype),
+                    scale, 1e-5, flags, self.q_pool_residual,
+                )
+                if h == 1:
+                    out = out.reshape(B, Lq, C)
+                else:
+                    out = (out.reshape(B, h, Lq, d)
+                           .transpose(0, 2, 1, 3).reshape(B, Lq, C))
+                resid_done = True  # q-residual was added in-kernel
             else:
-                # head-major transposes happen on POOLED tensors only
-                # (4-64x smaller than the pre-pool activations)
-                out = fa_fn(
-                    q4.transpose(0, 2, 1, 3).reshape(B * h, Lq, d),
-                    k4.transpose(0, 2, 1, 3).reshape(B * h, Lk, d),
-                    v4.transpose(0, 2, 1, 3).reshape(B * h, Lk, d),
-                    scale,
-                ).reshape(B, h, Lq, d).transpose(0, 2, 1, 3)
+                # fused path declined these shapes: apply the deferred
+                # norms and continue on the standard path
+                if q_ln is not None:
+                    q = _apply_deferred_norm(q, *q_ln)
+                if k_ln is not None:
+                    k = _apply_deferred_norm(k, *k_ln)
+                if v_ln is not None:
+                    v = _apply_deferred_norm(v, *v_ln)
+                fuse_ln = False
+        if not resid_done:
+            q4 = q.reshape(B, Lq, h, d)
+            k4 = k.reshape(B, Lk, h, d)
+            v4 = v.reshape(B, Lk, h, d)
+            if use_fa and flash_attention_supported(Lq, Lk, d):
+                fa_fn = flash_attention
+            elif use_fa and fa.flash_attention_padded_supported(Lq, Lk, d):
+                fa_fn = fa.flash_attention_padded
+            else:
+                fa_fn = None
+            if fa_fn is not None:
+                if h == 1:
+                    # [B, L, 1, d] == [G, L, d]: zero-copy into the kernel
+                    out = fa_fn(
+                        q.reshape(B, Lq, d), k.reshape(B, Lk, d),
+                        v.reshape(B, Lk, d), scale,
+                    ).reshape(B, Lq, C)
+                else:
+                    # head-major transposes happen on POOLED tensors only
+                    # (4-64x smaller than the pre-pool activations)
+                    out = fa_fn(
+                        q4.transpose(0, 2, 1, 3).reshape(B * h, Lq, d),
+                        k4.transpose(0, 2, 1, 3).reshape(B * h, Lk, d),
+                        v4.transpose(0, 2, 1, 3).reshape(B * h, Lk, d),
+                        scale,
+                    ).reshape(B, h, Lq, d).transpose(0, 2, 1, 3)
+                    out = out.reshape(B, Lq, C)
+            else:
+                attn = jnp.einsum(
+                    "bqhd,bkhd->bhqk", q4, k4,
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+                out = jnp.einsum(
+                    "bhqk,bkhd->bqhd", attn, v4,
+                    preferred_element_type=jnp.float32,
+                ).astype(self.dtype)
                 out = out.reshape(B, Lq, C)
-        else:
-            attn = jnp.einsum(
-                "bqhd,bkhd->bhqk", q4, k4,
-                preferred_element_type=jnp.float32,
-            ) * scale
-            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-            out = jnp.einsum(
-                "bhqk,bkhd->bqhd", attn, v4,
-                preferred_element_type=jnp.float32,
-            ).astype(self.dtype)
-            out = out.reshape(B, Lq, C)
-        if self.q_pool_residual:
-            out = out + q
+            if self.q_pool_residual:
+                out = out + q
 
         out = nn.Dense(
             C,

@@ -722,3 +722,570 @@ flash_attention_padded.defvjp(
     lambda q, k, v, scale: _flash_padded_fwd(q, k, v, scale),
     _flash_padded_bwd,
 )
+
+
+# --------------------------------------- fused post-pool LayerNorm variant
+# MViT normalizes pooled q/k/v per head (reference attention_pool,
+# attention.py:65) before attention; as standalone kernels those norms are
+# ~96 small launches/step (fwd+bwd x 3 tensors x 16 blocks) plus an HBM
+# round-trip for the LONG q tensor. This variant consumes the RAW pooled
+# tensors in head-major ``[G, L, d]`` layout and applies the row LayerNorm
+# (full last axis = head_dim — no grouped 96-lane slicing, the documented
+# VPU-roll trap of ops/pallas/layer_norm.py) inside the attention kernels:
+# K/V are normalized ONCE per group into VMEM scratch, q per tile, and the
+# v2 query-residual (``x = x + q``, attention.py:277-279) is added to the
+# output tile in-kernel so the normalized q never touches HBM at all.
+#
+# The backward folds the LN VJP in too: the merged dq/dk/dv kernel converts
+# the accumulated d(normed) to d(raw) + dgamma/dbeta in resident blocks at
+# the last q step; the k-chunked variant emits d(normed q) partials and the
+# wrapper fuses the LN VJP into the XLA partial-sum consumer. delta is
+# reconstructed as rowsum(g * (out - LN(q))) — with the residual fused the
+# saved ``out`` includes qn, so the pure attention output is recovered in
+# bf16 (one rounding step; parity-tested against the unfused path).
+
+
+def _ln_rows_f32(x, eps):
+    """Row LayerNorm stats over the (full, resident) last axis.
+
+    x: f32 ``[M, d]`` -> (xhat, rstd), both f32."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    return xc * rstd, rstd
+
+
+def _normed(t_f32, g_ref, b_ref, eps, dt):
+    xh, _ = _ln_rows_f32(t_f32, eps)
+    return (xh * g_ref[0].astype(jnp.float32)
+            + b_ref[0].astype(jnp.float32)).astype(dt)
+
+
+def _ln_vjp_rows(x_f32, gam_f32, dyn_f32, eps):
+    """Row-LN VJP: (dx, dgamma_rows, dbeta_rows) for d(normed)=dyn."""
+    xhat, rstd = _ln_rows_f32(x_f32, eps)
+    dyg = dyn_f32 * gam_f32
+    m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyg * xhat, axis=-1, keepdims=True)
+    dx = (dyg - m1 - xhat * m2) * rstd
+    dgam = jnp.sum(dyn_f32 * xhat, axis=0)
+    dbet = jnp.sum(dyn_f32, axis=0)
+    return dx, dgam, dbet
+
+
+def _flash_ln_fwd_kernel(q_ref, k_ref, v_ref, gq_ref, bq_ref, gk_ref,
+                         bk_ref, gv_ref, bv_ref, o_ref, kn_s, vn_s, *,
+                         scale, k_chunk, eps, flags, add_qn,
+                         lse_ref=None):
+    i = pl.program_id(1)
+    dt = q_ref.dtype
+    fq, fk, fv = flags
+
+    @pl.when(i == 0)
+    def _():
+        if fk:
+            kn_s[...] = _normed(k_ref[0].astype(jnp.float32), gk_ref,
+                                bk_ref, eps, dt)
+        if fv:
+            vn_s[...] = _normed(v_ref[0].astype(jnp.float32), gv_ref,
+                                bv_ref, eps, dt)
+
+    if fq:
+        qb = _normed(q_ref[0].astype(jnp.float32), gq_ref, bq_ref, eps, dt)
+    else:
+        qb = q_ref[0]
+    q = qb * jnp.asarray(scale, dt)
+    Lk = k_ref.shape[1]
+    num_k = Lk // k_chunk
+    TQ, d = q.shape
+
+    def body(j, carry):
+        m, l, acc = carry
+        k = (kn_s[pl.ds(j * k_chunk, k_chunk), :] if fk
+             else k_ref[0, pl.ds(j * k_chunk, k_chunk), :])
+        v = (vn_s[pl.ds(j * k_chunk, k_chunk), :] if fv
+             else v_ref[0, pl.ds(j * k_chunk, k_chunk), :])
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + p.sum(axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p.astype(dt), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((TQ, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((TQ, 1), jnp.float32)
+    acc0 = jnp.zeros((TQ, d), jnp.float32)
+    if num_k <= _UNROLL_MAX:
+        carry = (m0, l0, acc0)
+        for j in range(num_k):
+            carry = body(j, carry)
+        m, l, acc = carry
+    else:
+        m, l, acc = jax.lax.fori_loop(0, num_k, body, (m0, l0, acc0))
+    out = (acc / l).astype(o_ref.dtype)
+    o_ref[0] = out + qb if add_qn else out
+    if lse_ref is not None:
+        lse_ref[0, 0, 0] = (m + jnp.log(l))[:, 0]
+
+
+def _ln_scratch(Lk, d, dt, flags):
+    _, fk, fv = flags
+    return [
+        pltpu.VMEM((Lk if fk else 8, d), dt),
+        pltpu.VMEM((Lk if fv else 8, d), dt),
+    ]
+
+
+def _flash_ln_fwd_impl(q, k, v, params, scale, eps, flags, add_qn,
+                       q_tile, k_chunk, with_lse):
+    G, Lq, d = q.shape
+    Lk = k.shape[1]
+    dt = q.dtype
+    kernel = functools.partial(
+        _flash_ln_fwd_kernel, scale=scale, k_chunk=k_chunk, eps=eps,
+        flags=flags, add_qn=add_qn,
+    )
+    per_q = pl.BlockSpec((1, q_tile, d), lambda g, i: (g, i, 0),
+                         memory_space=pltpu.VMEM)
+    full_kv = pl.BlockSpec((1, Lk, d), lambda g, i: (g, 0, 0),
+                           memory_space=pltpu.VMEM)
+    par = pl.BlockSpec((1, d), lambda g, i: (0, 0),
+                       memory_space=pltpu.VMEM)
+    out_specs = per_q
+    out_shape = jax.ShapeDtypeStruct((G, Lq, d), dt)
+    if with_lse:
+        kernel = functools.partial(
+            _flash_ln_fwd_lse_kernel, scale=scale, k_chunk=k_chunk,
+            eps=eps, flags=flags, add_qn=add_qn,
+        )
+        out_specs = (per_q,
+                     pl.BlockSpec((1, 1, 1, q_tile), lambda g, i: (g, i, 0, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((G, Lq // q_tile, 1, q_tile),
+                                          jnp.float32))
+    return pl.pallas_call(
+        kernel,
+        grid=(G, Lq // q_tile),
+        in_specs=[per_q, full_kv, full_kv] + [par] * 6,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=_ln_scratch(Lk, d, dt, flags),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * G * Lq * Lk * d,
+            bytes_accessed=2 * (G * Lq * d + 2 * G * Lk * d),
+            transcendentals=G * Lq * Lk,
+        ),
+        interpret=INTERPRET,
+    )(q, k, v, *params)
+
+
+def _flash_ln_fwd_lse_kernel(q_ref, k_ref, v_ref, gq_ref, bq_ref, gk_ref,
+                             bk_ref, gv_ref, bv_ref, o_ref, lse_ref,
+                             kn_s, vn_s, *, scale, k_chunk, eps, flags,
+                             add_qn):
+    _flash_ln_fwd_kernel(
+        q_ref, k_ref, v_ref, gq_ref, bq_ref, gk_ref, bk_ref, gv_ref,
+        bv_ref, o_ref, kn_s, vn_s, scale=scale, k_chunk=k_chunk, eps=eps,
+        flags=flags, add_qn=add_qn, lse_ref=lse_ref,
+    )
+
+
+def _flash_ln_dqkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                          gq_ref, bq_ref, gk_ref, bk_ref, gv_ref, bv_ref,
+                          dq_ref, dk_ref, dv_ref, dgq_ref, dbq_ref,
+                          dgk_ref, dbk_ref, dgv_ref, dbv_ref, kn_s, vn_s,
+                          *, scale, eps, flags, add_qn, nq):
+    """Merged backward with the LN VJP folded in. Grid (G, q_tiles):
+    dk/dv accumulate d(normed) in resident f32 blocks and are converted to
+    d(raw) + dgamma/dbeta IN PLACE at the last q step; dq converts per
+    tile. The dgamma/dbeta outputs are revisited across the whole grid."""
+    gg = pl.program_id(0)
+    i = pl.program_id(1)
+    dt = q_ref.dtype
+    fq, fk, fv = flags
+
+    @pl.when((gg == 0) & (i == 0))
+    def _():
+        for r in (dgq_ref, dbq_ref, dgk_ref, dbk_ref, dgv_ref, dbv_ref):
+            r[...] = jnp.zeros_like(r)
+
+    @pl.when(i == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+        if fk:
+            kn_s[...] = _normed(k_ref[0].astype(jnp.float32), gk_ref,
+                                bk_ref, eps, dt)
+        if fv:
+            vn_s[...] = _normed(v_ref[0].astype(jnp.float32), gv_ref,
+                                bv_ref, eps, dt)
+
+    kb = kn_s[...] if fk else k_ref[0]
+    vb = vn_s[...] if fv else v_ref[0]
+    if fq:
+        qf = q_ref[0].astype(jnp.float32)
+        qxh, qrstd = _ln_rows_f32(qf, eps)
+        gq = gq_ref[0].astype(jnp.float32)
+        qb = (qxh * gq + bq_ref[0].astype(jnp.float32)).astype(dt)
+    else:
+        qb = q_ref[0]
+    qs = qb * jnp.asarray(scale, dt)
+    g = g_ref[0]
+    lse = lse_ref[0, 0, 0][:, None]
+    delta = delta_ref[0, 0, 0][:, None]
+
+    s = jax.lax.dot_general(
+        qs, kb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    p = jnp.exp(s - lse)
+    dv_ref[0] += jax.lax.dot_general(
+        p.astype(dt), g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        g, vb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta)).astype(dt)
+    dk_ref[0] += jax.lax.dot_general(
+        ds, qs, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dqn = jax.lax.dot_general(
+        ds, kb * jnp.asarray(scale, dt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if add_qn:
+        dqn = dqn + g.astype(jnp.float32)
+    if fq:
+        dyg = dqn * gq
+        m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+        m2 = jnp.mean(dyg * qxh, axis=-1, keepdims=True)
+        dq_ref[0] = ((dyg - m1 - qxh * m2) * qrstd).astype(dq_ref.dtype)
+        dgq_ref[0, :] += jnp.sum(dqn * qxh, axis=0)
+        dbq_ref[0, :] += jnp.sum(dqn, axis=0)
+    else:
+        dq_ref[0] = dqn.astype(dq_ref.dtype)
+
+    @pl.when(i == nq - 1)
+    def _():
+        if fk:
+            dxk, dgam, dbet = _ln_vjp_rows(
+                k_ref[0].astype(jnp.float32),
+                gk_ref[0].astype(jnp.float32), dk_ref[0], eps)
+            dk_ref[0] = dxk
+            dgk_ref[0, :] += dgam
+            dbk_ref[0, :] += dbet
+        if fv:
+            dxv, dgam, dbet = _ln_vjp_rows(
+                v_ref[0].astype(jnp.float32),
+                gv_ref[0].astype(jnp.float32), dv_ref[0], eps)
+            dv_ref[0] = dxv
+            dgv_ref[0, :] += dgam
+            dbv_ref[0, :] += dbet
+
+
+def _flash_ln_dqkv_chunked_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref,
+                                  delta_ref, gq_ref, bq_ref, gk_ref,
+                                  bk_ref, gv_ref, bv_ref, dqp_ref, dk_ref,
+                                  dv_ref, dgk_ref, dbk_ref, dgv_ref,
+                                  dbv_ref, kn_s, vn_s, *, scale, eps,
+                                  flags, add_qn, nq):
+    """K-chunked merged backward with the K/V LN VJP folded in. Grid
+    (G, k_tiles, q_tiles), q innermost. dq is emitted as d(NORMED q)
+    per-chunk f32 partials; the wrapper applies the q-side LN VJP inside
+    the XLA partial-sum consumer (one fused pass — in-kernel q conversion
+    is impossible here because no single chunk sees the full dqn)."""
+    gg = pl.program_id(0)
+    j = pl.program_id(1)
+    i = pl.program_id(2)
+    dt = q_ref.dtype
+    fq, fk, fv = flags
+
+    @pl.when((gg == 0) & (j == 0) & (i == 0))
+    def _():
+        for r in (dgk_ref, dbk_ref, dgv_ref, dbv_ref):
+            r[...] = jnp.zeros_like(r)
+
+    @pl.when(i == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+        if fk:
+            kn_s[...] = _normed(k_ref[0].astype(jnp.float32), gk_ref,
+                                bk_ref, eps, dt)
+        if fv:
+            vn_s[...] = _normed(v_ref[0].astype(jnp.float32), gv_ref,
+                                bv_ref, eps, dt)
+
+    kb = kn_s[...] if fk else k_ref[0]
+    vb = vn_s[...] if fv else v_ref[0]
+    if fq:
+        qb = _normed(q_ref[0].astype(jnp.float32), gq_ref, bq_ref, eps, dt)
+    else:
+        qb = q_ref[0]
+    qs = qb * jnp.asarray(scale, dt)
+    g = g_ref[0]
+    lse = lse_ref[0, 0, 0][:, None]
+    delta = delta_ref[0, 0, 0][:, None]
+
+    s = jax.lax.dot_general(
+        qs, kb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    p = jnp.exp(s - lse)
+    dv_ref[0] += jax.lax.dot_general(
+        p.astype(dt), g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        g, vb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta)).astype(dt)
+    dk_ref[0] += jax.lax.dot_general(
+        ds, qs, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dqp_ref[0, 0] = jax.lax.dot_general(
+        ds, kb * jnp.asarray(scale, dt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i == nq - 1)
+    def _():
+        if fk:
+            dxk, dgam, dbet = _ln_vjp_rows(
+                k_ref[0].astype(jnp.float32),
+                gk_ref[0].astype(jnp.float32), dk_ref[0], eps)
+            dk_ref[0] = dxk
+            dgk_ref[0, :] += dgam
+            dbk_ref[0, :] += dbet
+        if fv:
+            dxv, dgam, dbet = _ln_vjp_rows(
+                v_ref[0].astype(jnp.float32),
+                gv_ref[0].astype(jnp.float32), dv_ref[0], eps)
+            dv_ref[0] = dxv
+            dgv_ref[0, :] += dgam
+            dbv_ref[0, :] += dbet
+
+
+def _ln_bwd_fused_tile(Lq, Lk, d, flags, dtype_bytes=2):
+    """Like _bwd_fused_tile but accounts for the kn/vn VMEM scratch."""
+    _, fk, fv = flags
+    scratch = (int(fk) + int(fv)) * Lk * d * dtype_bytes
+    kv_resident = 2 * Lk * d * dtype_bytes + 2 * Lk * d * 4 + scratch
+    if kv_resident > _BWD_KV_RESIDENT_CAP:
+        return None
+    q_cap = max(8, (_BWD_FUSED_BUDGET // (4 * Lk)) // 8 * 8)
+    return _pick_tile(Lq, _Q_TILES, q_cap)
+
+
+def _ln_bwd_chunked_tiles(Lq, Lk, d, flags, dtype_bytes=2):
+    _, fk, fv = flags
+    per_row = 2 * d * (dtype_bytes + 4) + (int(fk) + int(fv)) * d * dtype_bytes
+    kt = _pick_tile(Lk, _K_TILES, _BWD_KV_RESIDENT_CAP // per_row)
+    if kt is None or Lk // kt > _BWD_CHUNKED_MAX_NK:
+        return None
+    qt = _pick_tile(Lq, _Q_TILES,
+                    max(8, (_BWD_FUSED_BUDGET // (4 * kt)) // 8 * 8))
+    if qt is None:
+        return None
+    return kt, qt
+
+
+def _ln_fwd_budget(Lk, d, flags):
+    """Forward logits budget shrunk by the kn/vn scratch residency — the
+    Lk=6272 lse-forward measured 17.7 MB against the 16 MB scoped limit
+    at the plain kernels' 2.5 MB budget once the 2.4 MB scratch joined."""
+    _, fk, fv = flags
+    scratch = (int(fk) + int(fv)) * Lk * d * 2
+    return max(1_000_000, 2_500_000 - scratch)
+
+
+def flash_attention_ln_supported(Lq: int, Lk: int, d: int,
+                                 flags=(True, True, True)) -> bool:
+    """Whether the fused-LN path handles these lengths (both the forward
+    tiling and one of the merged backward kernels must apply)."""
+    if not flash_attention_supported(Lq, Lk, d):
+        return False
+    return (_ln_bwd_fused_tile(Lq, Lk, d, flags) is not None
+            or _ln_bwd_chunked_tiles(Lq, Lk, d, flags) is not None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def flash_attention_ln(q, k, v, gq, bq, gk, bk, gv, bv,
+                       scale: float, eps: float, flags, add_qn: bool):
+    """Flash attention over RAW pooled q/k/v with per-row LayerNorm fused.
+
+    Args:
+      q: ``[G, Lq, d]`` raw (un-normalized) pooled queries, head-major.
+      k, v: ``[G, Lk, d]`` raw pooled keys/values.
+      gq/bq, gk/bk, gv/bv: ``[d]`` LN scale/bias per tensor (pass dummies
+        for tensors whose flag is False — their grads come back as zeros).
+      scale: logit scale.
+      eps: LN epsilon (reference pool norms: torch default 1e-5).
+      flags: static (norm_q, norm_k, norm_v) booleans.
+      add_qn: fuse the v2 query-residual ``out + LN(q)`` into the output
+        tile (reference attention.py:277-279).
+
+    Returns ``softmax(LN(q) @ LN(k).T * scale) @ LN(v) [+ LN(q)]``.
+    """
+    q_tile, k_chunk = _tiles_for(
+        q.shape[1], k.shape[1],
+        budget=_ln_fwd_budget(k.shape[1], q.shape[2], flags))
+    return _flash_ln_fwd_impl(
+        q, k, v, (gq.reshape(1, -1), bq.reshape(1, -1), gk.reshape(1, -1),
+                  bk.reshape(1, -1), gv.reshape(1, -1), bv.reshape(1, -1)),
+        scale, eps, flags, add_qn, q_tile, k_chunk, with_lse=False)
+
+
+def _flash_ln_fwd(q, k, v, gq, bq, gk, bk, gv, bv, scale, eps, flags,
+                  add_qn):
+    q_tile, k_chunk = _tiles_for(
+        q.shape[1], k.shape[1],
+        budget=_ln_fwd_budget(k.shape[1], q.shape[2], flags))
+    out, lse = _flash_ln_fwd_impl(
+        q, k, v, (gq.reshape(1, -1), bq.reshape(1, -1), gk.reshape(1, -1),
+                  bk.reshape(1, -1), gv.reshape(1, -1), bv.reshape(1, -1)),
+        scale, eps, flags, add_qn, q_tile, k_chunk, with_lse=True)
+    return out, (q, k, v, gq, bq, gk, bk, gv, bv, out, lse)
+
+
+def _xla_ln(t, gam, bet, eps):
+    tf = t.astype(jnp.float32)
+    xh, _ = _ln_rows_f32(tf, eps)
+    return (xh * gam.astype(jnp.float32) + bet.astype(jnp.float32))
+
+
+def _flash_ln_bwd(scale, eps, flags, add_qn, res, g):
+    q, k, v, gq, bq, gk, bk, gv, bv, out, lse = res
+    G, Lq, d = q.shape
+    Lk = k.shape[1]
+    dt = q.dtype
+    fq, fk, fv = flags
+    if fq:
+        qb = _xla_ln(q, gq, bq, eps).astype(dt)
+    else:
+        qb = q
+    if add_qn:
+        # recover the pure attention output (out includes the fused
+        # residual); one bf16 rounding step vs the unfused path
+        o_attn = out.astype(jnp.float32) - qb.astype(jnp.float32)
+    else:
+        o_attn = out.astype(jnp.float32)
+    delta_flat = (g.astype(jnp.float32) * o_attn).sum(-1)
+    lse_flat = lse.reshape(G, Lq)
+    params = (gq.reshape(1, -1), bq.reshape(1, -1), gk.reshape(1, -1),
+              bk.reshape(1, -1), gv.reshape(1, -1), bv.reshape(1, -1))
+    par = pl.BlockSpec((1, d), lambda *_: (0, 0), memory_space=pltpu.VMEM)
+    acc = pl.BlockSpec((1, d), lambda *_: (0, 0), memory_space=pltpu.VMEM)
+    acc_shape = jax.ShapeDtypeStruct((1, d), jnp.float32)
+
+    def _zeros_like_params():
+        return (jnp.zeros_like(gq), jnp.zeros_like(bq))
+
+    qt = _ln_bwd_fused_tile(Lq, Lk, d, flags)
+    if qt is not None:
+        nq = Lq // qt
+        lse_t = lse_flat.reshape(G, nq, 1, qt)
+        delta_t = delta_flat.reshape(G, nq, 1, qt)
+        full_kv = pl.BlockSpec((1, Lk, d), lambda gg, i: (gg, 0, 0),
+                               memory_space=pltpu.VMEM)
+        per_q = pl.BlockSpec((1, qt, d), lambda gg, i: (gg, i, 0),
+                             memory_space=pltpu.VMEM)
+        per_row = pl.BlockSpec((1, 1, 1, qt), lambda gg, i: (gg, i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            functools.partial(_flash_ln_dqkv_kernel, scale=scale, eps=eps,
+                              flags=flags, add_qn=add_qn, nq=nq),
+            grid=(G, nq),
+            in_specs=[per_q, full_kv, full_kv, per_q, per_row, per_row]
+            + [par] * 6,
+            out_specs=(per_q, full_kv, full_kv) + (acc,) * 6,
+            out_shape=(
+                jax.ShapeDtypeStruct((G, Lq, d), dt),
+                jax.ShapeDtypeStruct((G, Lk, d), jnp.float32),
+                jax.ShapeDtypeStruct((G, Lk, d), jnp.float32),
+            ) + (acc_shape,) * 6,
+            scratch_shapes=_ln_scratch(Lk, d, dt, flags),
+            interpret=INTERPRET,
+        )(q, k, v, g, lse_t, delta_t, *params)
+        dq, dk, dv, dgq, dbq, dgk, dbk, dgv, dbv = outs
+        dgq, dbq, dgk, dbk, dgv, dbv = (
+            t.reshape(d) for t in (dgq, dbq, dgk, dbk, dgv, dbv))
+    else:
+        kt, qt = _ln_bwd_chunked_tiles(Lq, Lk, d, flags)
+        nk, nq = Lk // kt, Lq // qt
+        lse_t = lse_flat.reshape(G, nq, 1, qt)
+        delta_t = delta_flat.reshape(G, nq, 1, qt)
+        per_kv = pl.BlockSpec((1, kt, d), lambda gg, j, i: (gg, j, 0),
+                              memory_space=pltpu.VMEM)
+        per_q = pl.BlockSpec((1, qt, d), lambda gg, j, i: (gg, i, 0),
+                             memory_space=pltpu.VMEM)
+        per_row = pl.BlockSpec((1, 1, 1, qt),
+                               lambda gg, j, i: (gg, i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        par3 = pl.BlockSpec((1, d), lambda *_: (0, 0),
+                            memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            functools.partial(_flash_ln_dqkv_chunked_kernel, scale=scale,
+                              eps=eps, flags=flags, add_qn=add_qn, nq=nq),
+            grid=(G, nk, nq),
+            in_specs=[per_q, per_kv, per_kv, per_q, per_row, per_row]
+            + [par3] * 6,
+            out_specs=(
+                pl.BlockSpec((1, 1, qt, d), lambda gg, j, i: (gg, j, i, 0),
+                             memory_space=pltpu.VMEM),
+                per_kv, per_kv,
+            ) + (par3,) * 4,
+            out_shape=(
+                jax.ShapeDtypeStruct((G, nk, Lq, d), jnp.float32),
+                jax.ShapeDtypeStruct((G, Lk, d), jnp.float32),
+                jax.ShapeDtypeStruct((G, Lk, d), jnp.float32),
+            ) + (acc_shape,) * 4,
+            scratch_shapes=[
+                pltpu.VMEM((kt if fk else 8, d), dt),
+                pltpu.VMEM((kt if fv else 8, d), dt),
+            ],
+            interpret=INTERPRET,
+        )(q, k, v, g, lse_t, delta_t, *params)
+        dqp, dk, dv, dgk, dbk, dgv, dbv = outs
+        dgk, dbk, dgv, dbv = (t.reshape(d) for t in (dgk, dbk, dgv, dbv))
+        dqn = dqp.sum(axis=1)  # [G, Lq, d] f32, d(normed q)
+        if add_qn:
+            dqn = dqn + g.astype(jnp.float32)
+        if fq:
+            # q-side LN VJP fused by XLA into the partial-sum consumer
+            qf = q.astype(jnp.float32)
+            mu = jnp.mean(qf, axis=-1, keepdims=True)
+            xc = qf - mu
+            var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+            rstd = jax.lax.rsqrt(var + eps)
+            xhat = xc * rstd
+            dyg = dqn * gq.astype(jnp.float32)
+            m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+            m2 = jnp.mean(dyg * xhat, axis=-1, keepdims=True)
+            dq = ((dyg - m1 - xhat * m2) * rstd).astype(dt)
+            dgq = (dqn * xhat).sum((0, 1))
+            dbq = dqn.sum((0, 1))
+        else:
+            dq = dqn.astype(dt)
+            dgq, dbq = _zeros_like_params()
+
+    if not fq:
+        dgq, dbq = _zeros_like_params()
+    if not fk:
+        dgk, dbk = _zeros_like_params()
+    if not fv:
+        dgv, dbv = _zeros_like_params()
+    return (dq, dk.astype(k.dtype), dv.astype(v.dtype),
+            dgq.astype(gq.dtype), dbq.astype(bq.dtype),
+            dgk.astype(gk.dtype), dbk.astype(bk.dtype),
+            dgv.astype(gv.dtype), dbv.astype(bv.dtype))
+
+
+flash_attention_ln.defvjp(
+    lambda q, k, v, gq, bq, gk, bk, gv, bv, scale, eps, flags, add_qn:
+        _flash_ln_fwd(q, k, v, gq, bq, gk, bk, gv, bv, scale, eps, flags,
+                      add_qn),
+    _flash_ln_bwd,
+)
