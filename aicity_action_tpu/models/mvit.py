@@ -519,11 +519,9 @@ class MultiScaleAttention(nn.Module):
         # cls -> LN, attention.py:12-83); its odd sequence lengths go
         # through the padded flash kernel (masked KV columns).
 
-        use_fa = (
-            self.use_flash
-            and not fa.is_disabled()
-            and jax.default_backend() == "tpu"
-        )
+        # single injectable gate (_use_pallas) so interpret-mode tests can
+        # force the fused branches on CPU (monkeypatch mvit._use_pallas)
+        use_fa = self.use_flash and _use_pallas()
         # Defer the post-pool per-head LNs into the flash kernel when the
         # fused-LN path can take them (kills ~6 kernel launches per block
         # and the HBM round-trip of the LONG normalized q; the v2

@@ -31,6 +31,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 
+# Mosaic checks the kernel's scoped-VMEM stack against a conservative 16 MB
+# default; v5e cores have 128 MB of VMEM and the fused-LN kernels' resident
+# K/V + kn/vn scratch legitimately need more (the round-3 driver bench OOMed
+# at 16.11 MB on the Lq=25088/Lk=6272 fused-LN forward). Raise the check —
+# actual usage is still bounded by the tile budgets below.
+_SCOPED_VMEM_LIMIT = 64 * 1024 * 1024
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_SCOPED_VMEM_LIMIT)
+
 # statically unroll k-chunk loops up to this many chunks (fori_loop carries
 # are physically copied each iteration in Mosaic; measured +24% at num_k=4)
 _UNROLL_MAX = 8
@@ -177,6 +185,7 @@ def _flash_attention_fwd_impl(q, k, v, scale, q_tile, k_chunk,
             bytes_accessed=2 * (G * Lq * d + 2 * G * Lk * d),
             transcendentals=G * Lq * Lk,
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=INTERPRET,
     )(q, k, v)
 
@@ -189,6 +198,20 @@ def flash_attention_supported(Lq: int, Lk: int, d: int) -> bool:
     qt = _pick_tile(Lq, _Q_TILES, Lq)
     kt = _pick_tile(Lk, _K_TILES, Lk)
     return qt is not None and kt is not None
+
+
+def _try_tiles_for(Lq, Lk, budget):
+    """(q_tile, k_chunk) pick that returns None when no legal tile exists
+    (``_tiles_for`` asserts) — used by the ``*_supported`` predicates so
+    callers fall back to the unfused path instead of failing at trace."""
+    k_chunk = _pick_tile(Lk, _K_TILES, Lk)
+    if k_chunk is None:
+        return None
+    q_tile = _pick_tile(Lq, _Q_TILES,
+                        max(8, (budget // (4 * k_chunk)) // 8 * 8))
+    if q_tile is None:
+        return None
+    return q_tile, k_chunk
 
 
 def _tiles_for(Lq, Lk, budget=3_000_000):
@@ -309,6 +332,7 @@ def _flash_fwd_with_lse(q, k, v, scale, q_tile, k_chunk, kv_valid=None):
             # any q tile size
             jax.ShapeDtypeStruct((G, Lq // q_tile, 1, q_tile), jnp.float32),
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=INTERPRET,
     )(q, k, v)
 
@@ -551,6 +575,7 @@ def _flash_bwd(scale, res, g):
                 jax.ShapeDtypeStruct((G, Lk, d), jnp.float32),
                 jax.ShapeDtypeStruct((G, Lk, d), jnp.float32),
             ),
+            compiler_params=_COMPILER_PARAMS,
             interpret=INTERPRET,
         )(q, k, v, g, lse_t, delta_t)
         return dq, dk.astype(k.dtype), dv.astype(v.dtype)
@@ -581,6 +606,7 @@ def _flash_bwd(scale, res, g):
                 jax.ShapeDtypeStruct((G, Lk, d), jnp.float32),
                 jax.ShapeDtypeStruct((G, Lk, d), jnp.float32),
             ),
+            compiler_params=_COMPILER_PARAMS,
             interpret=INTERPRET,
         )(q, k, v, g, lse_t, delta_t)
         dq = dqp.sum(axis=1).astype(q.dtype)
@@ -610,6 +636,7 @@ def _flash_bwd(scale, res, g):
         out_specs=pl.BlockSpec((1, q_tile, d), lambda gg, i: (gg, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, Lq, d), q.dtype),
+        compiler_params=_COMPILER_PARAMS,
         interpret=INTERPRET,
     )(q, k, v, g, lse, delta)
 
@@ -644,6 +671,7 @@ def _flash_bwd(scale, res, g):
             jax.ShapeDtypeStruct((G, Lk, d), jnp.float32),
             jax.ShapeDtypeStruct((G, Lk, d), jnp.float32),
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=INTERPRET,
     )(q, k, v, g, lse_kv, delta_kv)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
@@ -882,6 +910,7 @@ def _flash_ln_fwd_impl(q, k, v, params, scale, eps, flags, add_qn,
             bytes_accessed=2 * (G * Lq * d + 2 * G * Lk * d),
             transcendentals=G * Lq * Lk,
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=INTERPRET,
     )(q, k, v, *params)
 
@@ -1092,10 +1121,16 @@ def _ln_bwd_chunked_tiles(Lq, Lk, d, flags, dtype_bytes=2):
     return kt, qt
 
 
-def _ln_fwd_budget(Lk, d, flags):
-    """Forward logits budget shrunk by the kn/vn scratch residency — the
-    Lk=6272 lse-forward measured 17.7 MB against the 16 MB scoped limit
-    at the plain kernels' 2.5 MB budget once the 2.4 MB scratch joined."""
+def _ln_fwd_budget(Lk, d, flags, with_lse=False):
+    """Forward logits budget for the fused-LN kernels. With the scoped-VMEM
+    check raised to _SCOPED_VMEM_LIMIT the kn/vn scratch no longer crowds
+    the 16 MB default (the Lq=25088/Lk=6272 forward measured 16.11 MB and
+    OOMed the default limit even at a 1 MB budget), so the inference
+    forward runs the plain kernels' budget. The lse-saving training forward
+    keeps the scratch-shrunken budget — measured 20 ms/step FASTER at 448
+    bs4 with the smaller q tiles (201.3 vs 221.6 ms at 2.5 MB)."""
+    if not with_lse:
+        return 2_500_000
     _, fk, fv = flags
     scratch = (int(fk) + int(fv)) * Lk * d * 2
     return max(1_000_000, 2_500_000 - scratch)
@@ -1107,6 +1142,14 @@ def flash_attention_ln_supported(Lq: int, Lk: int, d: int,
     tiling and one of the merged backward kernels must apply)."""
     if not flash_attention_supported(Lq, Lk, d):
         return False
+    # both forwards must tile: the custom_vjp primal (inference, no lse)
+    # and the AD forward (saves lse, scratch-shrunken budget can squeeze
+    # q_cap below every legal tile for non-x8 Lq like 196)
+    for with_lse in (False, True):
+        if _try_tiles_for(
+                Lq, Lk, _ln_fwd_budget(Lk, d, flags,
+                                       with_lse=with_lse)) is None:
+            return False
     return (_ln_bwd_fused_tile(Lq, Lk, d, flags) is not None
             or _ln_bwd_chunked_tiles(Lq, Lk, d, flags) is not None)
 
@@ -1142,7 +1185,8 @@ def _flash_ln_fwd(q, k, v, gq, bq, gk, bk, gv, bv, scale, eps, flags,
                   add_qn):
     q_tile, k_chunk = _tiles_for(
         q.shape[1], k.shape[1],
-        budget=_ln_fwd_budget(k.shape[1], q.shape[2], flags))
+        budget=_ln_fwd_budget(k.shape[1], q.shape[2], flags,
+                              with_lse=True))
     out, lse = _flash_ln_fwd_impl(
         q, k, v, (gq.reshape(1, -1), bq.reshape(1, -1), gk.reshape(1, -1),
                   bk.reshape(1, -1), gv.reshape(1, -1), bv.reshape(1, -1)),
@@ -1207,6 +1251,7 @@ def _flash_ln_bwd(scale, eps, flags, add_qn, res, g):
                 jax.ShapeDtypeStruct((G, Lk, d), jnp.float32),
             ) + (acc_shape,) * 6,
             scratch_shapes=_ln_scratch(Lk, d, dt, flags),
+            compiler_params=_COMPILER_PARAMS,
             interpret=INTERPRET,
         )(q, k, v, g, lse_t, delta_t, *params)
         dq, dk, dv, dgq, dbq, dgk, dbk, dgv, dbv = outs
@@ -1246,6 +1291,7 @@ def _flash_ln_bwd(scale, eps, flags, add_qn, res, g):
                 pltpu.VMEM((kt if fk else 8, d), dt),
                 pltpu.VMEM((kt if fv else 8, d), dt),
             ],
+            compiler_params=_COMPILER_PARAMS,
             interpret=INTERPRET,
         )(q, k, v, g, lse_t, delta_t, *params)
         dqp, dk, dv, dgk, dbk, dgv, dbv = outs

@@ -127,6 +127,41 @@ def test_vjp_chunked(flags, add_qn, monkeypatch):
     _grad_check(flags, add_qn, force_chunked=True, monkeypatch=monkeypatch)
 
 
+def test_vjp_bf16_add_qn():
+    """Production-dtype check for the add_qn backward, which recovers the
+    pure attention output as ``out - LN(q)`` from the bf16-rounded saved
+    ``out`` (extra rounding/cancellation vs the f32 tests). Tolerances
+    follow bf16's ~2^-8 relative resolution on O(1) values."""
+    q, k, v, params = _inputs(G=2, Lq=64, Lk=64, d=16, seed=9)
+    q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
+    params = tuple(t.astype(jnp.bfloat16) for t in params)
+    scale = q.shape[-1] ** -0.5
+    flags, add_qn = (True, True, True), True
+
+    def f_fused(*args):
+        return (fa.flash_attention_ln(
+            *args, scale, EPS, flags, add_qn).astype(jnp.float32) ** 2).sum()
+
+    def f_ref(*args):
+        a32 = tuple(t.astype(jnp.float32) for t in args)
+        return (_ref(*a32, scale, flags, add_qn) ** 2).sum()
+
+    got = jax.grad(f_fused, argnums=tuple(range(9)))(q, k, v, *params)
+    want = jax.grad(f_ref, argnums=tuple(range(9)))(q, k, v, *params)
+    names = ["q", "k", "v", "gq", "bq", "gk", "bk", "gv", "bv"]
+    got = [np.asarray(g, np.float32) for g in got]
+    want = [np.asarray(g, np.float32) for g in want]
+    # normalize per-argument errors by the GLOBAL gradient scale: bk's true
+    # gradient is analytically zero (softmax is invariant to the uniform
+    # per-column logit shift a key-bias change induces), so its numerical
+    # value is pure cancellation noise at any dtype and per-tensor relative
+    # error is meaningless there.
+    scale_all = max(float(np.abs(g).max()) for g in want)
+    for name, g_got, g_want in zip(names, got, want):
+        rel = float(np.abs(g_got - g_want).max()) / scale_all
+        assert rel < 2e-2, f"bf16 add_qn grad {name}: rel err {rel:.3e}"
+
+
 def test_supported_predicate():
     # flagship 448 shapes (h-folded G): every block class must be taken
     assert fa.flash_attention_ln_supported(25088, 1568, 96)   # stage 1
