@@ -332,13 +332,26 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu" and not fa.is_disabled()
 
 
-def _fuse_attn_ln_enabled() -> bool:
+def _fuse_attn_ln_enabled(deterministic: bool = True) -> bool:
     """Fuse the post-pool per-head LNs (+ v2 q-residual) into the flash
-    kernels (ops/pallas/flash_attention.py fused-LN section). Env-gated
-    for A/B measurement; on by default."""
+    kernels (ops/pallas/flash_attention.py fused-LN section).
+
+    Default ``auto``: fused for inference only. The fused forward is a
+    measured win at eval (67.3 vs 63.9 clips/s @448 bs8 — no-lse kernels
+    keep the plain logits budget), but the AD path is a measured LOSS
+    (201.3 vs 193.9 ms/step @448 bs4): the lse-saving forward must starve
+    its logits tiles to fit the resident kn/vn scratch, and the backward's
+    in-kernel LN recompute gives back more than the ~11 ms of norm
+    launches it saves (docs/DESIGN.md §17). Env override for A/B:
+    ``AICITY_TPU_FUSE_ATTN_LN=1`` forces it everywhere, ``0`` disables."""
     import os
 
-    return os.environ.get("AICITY_TPU_FUSE_ATTN_LN", "1") != "0"
+    v = os.environ.get("AICITY_TPU_FUSE_ATTN_LN", "auto")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return deterministic
 
 
 class FusedMlp(nn.Module):
@@ -531,7 +544,7 @@ class MultiScaleAttention(nn.Module):
             use_fa
             and self.mode == "conv"
             and not self.has_cls
-            and _fuse_attn_ln_enabled()
+            and _fuse_attn_ln_enabled(deterministic)
         )
 
         def _apply_deferred_norm(t, sc, bi):

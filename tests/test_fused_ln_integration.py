@@ -148,3 +148,28 @@ def test_fuse_env_gate(monkeypatch):
     monkeypatch.setattr(fa, "flash_attention_ln", recording)
     mod.apply({"params": params}, x, THW)
     assert not calls
+
+
+def test_fuse_auto_mode_eval_only(monkeypatch):
+    """Default (``auto``): the fused kernel runs at eval
+    (deterministic=True) and stays out of the AD/train path
+    (deterministic=False) — the measured win/loss split of DESIGN §17."""
+    x = _x(9)
+    mod = _module()
+    params = mod.init(jax.random.PRNGKey(10), x, THW)["params"]
+    _force_fused(monkeypatch)
+    monkeypatch.delenv("AICITY_TPU_FUSE_ATTN_LN", raising=False)
+    calls = []
+    orig = fa.flash_attention_ln
+
+    def recording(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(fa, "flash_attention_ln", recording)
+    mod.apply({"params": params}, x, THW, deterministic=True)
+    assert calls, "auto mode must fuse at eval"
+    n_eval = len(calls)
+    mod.apply({"params": params}, x, THW, deterministic=False,
+              rngs={"dropout": jax.random.PRNGKey(11)})
+    assert len(calls) == n_eval, "auto mode must not fuse in training"
