@@ -308,6 +308,9 @@ def get_cfg() -> CfgNode:
     _C.TPU.PARAM_DTYPE = "float32"
     _C.TPU.PREFETCH_DEPTH = 2  # device prefetch depth of the input pipeline
     _C.TPU.DONATE_STATE = True  # donate train state buffers under jit
+    # overlap the orbax checkpoint write with the next epoch (the
+    # device->host snapshot stays synchronous; loads/scans drain first)
+    _C.TPU.ASYNC_CHECKPOINT = False
     # write a jax.profiler trace of train steps [PROFILE_START_STEP,
     # PROFILE_START_STEP + PROFILE_NUM_STEPS) to this directory ("" = off)
     _C.TPU.PROFILE_DIR = ""

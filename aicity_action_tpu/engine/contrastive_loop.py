@@ -101,12 +101,14 @@ def train_contrastive(cfg):
 
         if cu.is_checkpoint_epoch(cfg, cur_epoch):
             cu.save_checkpoint(cfg.OUTPUT_DIR, jax.device_get(state),
-                               cur_epoch, cfg)
+                               cur_epoch, cfg,
+                               async_write=cfg.TPU.ASYNC_CHECKPOINT)
         if (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0 or (
             cur_epoch + 1 == cfg.SOLVER.MAX_EPOCH
         ):
             eval_contrastive_epoch(cfg, mesh, feature_fn, state, val_loader,
                                    cur_epoch, per_host_batch)
+    cu.wait_for_pending_saves()
     return state
 
 

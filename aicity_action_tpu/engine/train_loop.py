@@ -320,7 +320,8 @@ def train(cfg):
 
         if is_ckpt:
             cu.save_checkpoint(cfg.OUTPUT_DIR, jax.device_get(state),
-                               cur_epoch, cfg)
+                               cur_epoch, cfg,
+                               async_write=cfg.TPU.ASYNC_CHECKPOINT)
         if is_eval:
             if detection:
                 eval_epoch_detection(cfg, mesh, jitted_eval, state,
@@ -336,6 +337,7 @@ def train(cfg):
 
     if writer is not None:
         writer.close()
+    cu.wait_for_pending_saves()
     logger.info("Training done.")
     return state
 

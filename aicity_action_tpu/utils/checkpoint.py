@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 from typing import Any, Optional
 
 import jax
@@ -49,7 +50,31 @@ def checkpoint_path(output_dir: str, epoch: int) -> str:
     )
 
 
+# At most one checkpoint write in flight (TPU.ASYNC_CHECKPOINT): the
+# device->host pull stays synchronous (donation-safe under jit), only the
+# orbax directory write moves off the training thread — the useful split
+# on real hosts where the write (disk/GCS) dominates the pull (PCIe).
+_pending_save: Optional[threading.Thread] = None
+_pending_error: list = []
+
+
+def wait_for_pending_saves() -> None:
+    """Join the in-flight async checkpoint write, re-raising its error.
+
+    Called automatically before any checkpoint scan/load and at the end of
+    training; callers embedding save_checkpoint elsewhere should drain
+    before reading OUTPUT_DIR."""
+    global _pending_save
+    t = _pending_save
+    if t is not None:
+        t.join()
+        _pending_save = None
+    if _pending_error:
+        raise _pending_error.pop()
+
+
 def get_last_checkpoint(output_dir: str) -> Optional[str]:
+    wait_for_pending_saves()
     d = checkpoint_dir(output_dir)
     if not os.path.isdir(d):
         return None
@@ -73,11 +98,19 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save_checkpoint(output_dir: str, state, epoch: int, cfg=None) -> str:
-    """Master-only save of {params, opt_state, step, epoch}."""
+def save_checkpoint(output_dir: str, state, epoch: int, cfg=None, *,
+                    async_write: bool = False) -> str:
+    """Master-only save of {params, opt_state, step, epoch}.
+
+    ``async_write`` (TPU.ASYNC_CHECKPOINT): snapshot to host numpy
+    synchronously, hand the orbax write to a background thread so the
+    next epoch trains through the IO. One write in flight at a time;
+    ``wait_for_pending_saves`` drains (and is implied by every checkpoint
+    scan/load in this module)."""
     path = checkpoint_path(output_dir, epoch + 1)
     if jax.process_index() != 0:
         return path
+    wait_for_pending_saves()
     os.makedirs(checkpoint_dir(output_dir), exist_ok=True)
     payload = {
         "epoch": np.asarray(epoch + 1),
@@ -93,6 +126,19 @@ def save_checkpoint(output_dir: str, state, epoch: int, cfg=None) -> str:
         with open(os.path.join(checkpoint_dir(output_dir),
                                "config.yaml"), "w") as f:
             f.write(cfg.dump())
+    if async_write:
+        def _write():
+            try:
+                _checkpointer().save(path, payload, force=True)
+                logger.info("Saved checkpoint to %s (async)", path)
+            except Exception as e:  # surfaced at the next drain point
+                _pending_error.append(e)
+
+        global _pending_save
+        _pending_save = threading.Thread(
+            target=_write, name="ckpt-writer", daemon=False)
+        _pending_save.start()
+        return path
     _checkpointer().save(path, payload, force=True)
     logger.info("Saved checkpoint to %s", path)
     return path
@@ -121,6 +167,7 @@ def load_checkpoint(
     checkpoints go through the c2 name chain first
     (reference ``checkpoint.py:219-287``).
     """
+    wait_for_pending_saves()
     if convert_from_torch or path.endswith((".pyth", ".pth", ".pt", ".pkl")):
         if path.endswith(".pkl"):
             sd = load_c2_checkpoint(path)

@@ -112,6 +112,36 @@ def test_train_checkpoint_resume_and_test(workdir):
     assert 0.0 <= stats["top1_acc"] <= 100.0
 
 
+def test_async_checkpoint_train_and_resume(workdir, tmp_path):
+    """TPU.ASYNC_CHECKPOINT: the orbax write runs on the writer thread, the
+    drain hooks make it invisible — same checkpoints on disk, auto-resume
+    works, and a writer failure surfaces at the next drain point."""
+    from aicity_action_tpu.engine.train_loop import train
+    from aicity_action_tpu.utils import checkpoint as cu
+
+    cfg = _tiny_cfg(workdir)
+    cfg.OUTPUT_DIR = str(tmp_path / "async_out")
+    cfg.TPU.ASYNC_CHECKPOINT = True
+    state = train(cfg)  # train() drains before returning
+    assert cu._pending_save is None
+    ckpts = glob.glob(os.path.join(cfg.OUTPUT_DIR, "checkpoints",
+                                   "checkpoint_epoch_*"))
+    assert len(ckpts) == 2
+
+    cfg2 = _tiny_cfg(workdir)
+    cfg2.OUTPUT_DIR = cfg.OUTPUT_DIR
+    cfg2.TPU.ASYNC_CHECKPOINT = True
+    cfg2.SOLVER.MAX_EPOCH = 3
+    state2 = train(cfg2)  # auto-resume scan drains any in-flight write
+    assert int(np.asarray(state2.step)) == 3
+
+    # a failed async write raises at the next drain, not silently
+    cu._pending_error.append(RuntimeError("disk full"))
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="disk full"):
+        cu.wait_for_pending_saves()
+
+
 def test_multidataset_epoch_driver(workdir):
     """Train a tiny 2-dataset multi-head model for 2 epochs; the epoch
     driver must run Multi_dataset_seq batches through the multi-head step
