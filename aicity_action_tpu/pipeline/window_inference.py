@@ -188,48 +188,30 @@ class WindowDataset:
             (F, s * 3 // 2, s) if yuv420 else (F, s, s, 3), np.uint8)
         fill = 0
         cap = cv2.VideoCapture(self.video_path)
-        batch = []
+        write = self._frame_writer(s, yuv420, rgb)
         last = None
-
-        def resized(stack):
-            return self._resize_pack(stack, s, yuv420)
 
         try:
             eof = False
-            while True:
-                while not eof and len(batch) < 16:
-                    ok, frame = cap.read()
-                    if not ok:
-                        eof = True
-                        break
-                    if rgb:
-                        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            while not eof:
+                ok, frame = cap.read()
+                if not ok:
+                    eof = True
+                else:
                     if self._roi_px is None:
                         h, w = frame.shape[:2]
                         x1, y1, x2, y2 = self.roi
                         self._roi_px = (int(w * x1), int(h * y1),
                                         int(w * x2), int(h * y2))
-                    batch.append(frame)
-                if batch:
-                    u8 = resized(np.stack(batch))
-                    batch = []
-                    last = u8[-1]
-                    take = min(len(u8), F - fill)
-                    slab[fill:fill + take] = u8[:take]
-                    fill += take
-                    rest = u8[take:]
-                else:
-                    rest = None
+                    write(frame, slab[fill])
+                    last = slab[fill]
+                    fill += 1
                 if fill == F:
                     out = slab
                     slab = np.empty_like(slab)
                     fill = 0
-                    if rest is not None and len(rest):
-                        slab[:len(rest)] = rest
-                        fill = len(rest)
+                    last = out[-1].copy()  # consumer owns the yielded slab
                     yield out
-                elif eof:
-                    break
             if fill and last is not None:
                 slab[fill:] = last
                 yield slab
@@ -240,27 +222,33 @@ class WindowDataset:
         finally:
             cap.release()
 
-    def _resize_pack(self, stack, s: int, yuv420: bool):
-        """ROI-crop + resize a ``[N, H, W, 3]`` u8 frame stack to
-        ``[N, s, s, 3]``, or I420-pack to ``[N, s*3//2, s]`` when
-        ``yuv420`` (expects BGR input in that case). Pure function of its
-        inputs + ``self._roi_px`` — safe to call from decoder threads."""
-        from .. import native
+    def _frame_writer(self, s: int, yuv420: bool, rgb: bool):
+        """Returns ``write(frame, out_row)``: ROI-crop + resize ONE decoded
+        BGR frame straight into a slab row (u8 ``[s, s, 3]``, or I420
+        ``[s*3//2, s]`` when ``yuv420``). cv2's fixed-point SIMD resize +
+        ``dst=`` writes measure ~1.0 ms/frame on this host vs ~10 ms for
+        the old batch path (np.stack assembly 3.6 + float separable resize
+        6.6) — the dominant cost of the whole sliding-window pipeline once
+        uploads overlap. Color conversion runs AFTER the resize on the
+        s×s crop (channel swap commutes with resize bitwise; I420 matches
+        the old order). Each closure owns one scratch buffer — decoder
+        threads must each take their own writer."""
+        tmp = np.empty((s, s, 3), np.uint8) if (yuv420 or rgb) else None
+        interp = cv2.INTER_LINEAR
 
-        u8 = native.crop_resize_u8(stack, self._roi_px, s)
-        if u8 is None:
+        def write(frame, out):
             x1, y1, x2, y2 = self._roi_px
-            cropped = stack[:, y1:y2, x1:x2]
-            u8 = np.empty((stack.shape[0], s, s, 3), np.uint8)
-            for i in range(stack.shape[0]):
-                u8[i] = cv2.resize(cropped[i], (s, s),
-                                   interpolation=cv2.INTER_LINEAR)
-        if yuv420:
-            packed = np.empty((u8.shape[0], s * 3 // 2, s), np.uint8)
-            for i in range(u8.shape[0]):
-                packed[i] = cv2.cvtColor(u8[i], cv2.COLOR_BGR2YUV_I420)
-            return packed
-        return u8
+            crop = frame[y1:y2, x1:x2]
+            if yuv420:
+                cv2.resize(crop, (s, s), dst=tmp, interpolation=interp)
+                cv2.cvtColor(tmp, cv2.COLOR_BGR2YUV_I420, dst=out)
+            elif rgb:
+                cv2.resize(crop, (s, s), dst=tmp, interpolation=interp)
+                cv2.cvtColor(tmp, cv2.COLOR_BGR2RGB, dst=out)
+            else:
+                cv2.resize(crop, (s, s), dst=out, interpolation=interp)
+
+        return write
 
     def stream_chunks_parallel(self, chunk_frames: int, n_threads: int,
                                rgb: bool = True, yuv420: bool = False,
@@ -311,6 +299,9 @@ class WindowDataset:
             chunk's own last frame when 0 < n_real < F (matching the
             sequential generator's partial-chunk semantics)."""
             cap = cv2.VideoCapture(self.video_path)
+            write = self._frame_writer(s, yuv420, rgb)  # per-thread scratch
+            slab = np.empty(shape(), np.uint8)
+            done = 0
             try:
                 if c:
                     cap.set(cv2.CAP_PROP_POS_FRAMES, c * F)
@@ -326,24 +317,16 @@ class WindowDataset:
                         for _ in range(c * F):
                             if not cap.grab():
                                 break
-                frames = []
-                while len(frames) < F:
+                while done < F:
                     ok, frame = cap.read()
                     if not ok:
                         break
-                    if rgb:
-                        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-                    frames.append(frame)
+                    write(frame, slab[done])
+                    done += 1
             finally:
                 cap.release()
-            if not frames:
+            if not done:
                 return None, 0
-            slab = np.empty(shape(), np.uint8)
-            done = 0
-            for i in range(0, len(frames), 16):
-                u8 = self._resize_pack(np.stack(frames[i:i + 16]), s, yuv420)
-                slab[done:done + len(u8)] = u8
-                done += len(u8)
             if done < F:
                 slab[done:] = slab[done - 1]
             return slab, done
@@ -723,6 +706,28 @@ class WindowScorer:
 
         th = threading.Thread(target=_decoder, daemon=True)
         th.start()
+        # every (chunk, window-group) index array is known before the first
+        # frame decodes — upload them ALL in one batched device_put (one
+        # round trip on a tunneled device instead of one per chunk)
+        calls = []  # (chunk, device idx, [(t0, t1)])
+        host_idx = []
+        for c in range(n_chunks):
+            base = c * F
+            ws = by_chunk.get(c, [])
+            for i in range(0, len(ws), nw):
+                grp = ws[i:i + nw]
+                idx = np.zeros((nw, T), np.int32)
+                for r, w in enumerate(grp):
+                    idx[r] = plans[w][2] - base + TAIL
+                host_idx.append(idx)
+                calls.append((c, None, [(plans[w][0], plans[w][1])
+                                        for w in grp]))
+        dev_idx = jax.device_put(host_idx, self._b_sh)
+        calls = [(c, di, spans)
+                 for (c, _, spans), di in zip(calls, dev_idx)]
+        by_chunk_calls: dict[int, list] = {}
+        for call in calls:
+            by_chunk_calls.setdefault(call[0], []).append(call)
         pending = []
         with self.mesh:
             prev_chunk = jax.device_put(
@@ -733,20 +738,10 @@ class WindowScorer:
                 t = _time.time()
                 dev_chunk = jax.device_put(chunk, self._repl)
                 timers["upload"] += _time.time() - t
-                base = c * F
-                ws = by_chunk.get(c, [])
                 t = _time.time()
-                for i in range(0, max(len(ws), 1), nw):
-                    grp = ws[i:i + nw]
-                    if not grp:
-                        break
-                    idx = np.zeros((nw, T), np.int32)
-                    for r, w in enumerate(grp):
-                        idx[r] = plans[w][2] - base + TAIL
-                    out = fn(variables, prev_chunk, dev_chunk,
-                             jax.device_put(idx, self._b_sh))
-                    pending.append(
-                        (out, [(plans[w][0], plans[w][1]) for w in grp]))
+                for _, idx, spans in by_chunk_calls.get(c, []):
+                    out = fn(variables, prev_chunk, dev_chunk, idx)
+                    pending.append((out, spans))
                 timers["dispatch"] += _time.time() - t
                 prev_chunk = dev_chunk
             # one stacked fetch: per-batch device_get is one round trip EACH

@@ -196,7 +196,25 @@ def main():
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     module, params = build_model(cfg)
 
-    clips_per_sec, flops_per_clip = _clip_throughput(module, params, cfg)
+    # Graduated fallbacks: a kernel regression (e.g. a scoped-VMEM OOM like
+    # BENCH_r03's) must degrade the number, never zero out the whole bench.
+    # Each retry retraces, so trace-time gates pick up the new setting.
+    try:
+        clips_per_sec, flops_per_clip = _clip_throughput(module, params, cfg)
+    except Exception as e:
+        print(f"# headline failed ({type(e).__name__}); retrying with the "
+              f"fused attention-LN path off: {e}", file=sys.stderr)
+        os.environ["AICITY_TPU_FUSE_ATTN_LN"] = "0"
+        try:
+            clips_per_sec, flops_per_clip = _clip_throughput(
+                module, params, cfg)
+        except Exception as e2:
+            print(f"# headline failed again ({type(e2).__name__}); retrying "
+                  f"on the pure-XLA attention path: {e2}", file=sys.stderr)
+            from aicity_action_tpu.ops.pallas import flash_attention as fa
+            with fa.disabled():
+                clips_per_sec, flops_per_clip = _clip_throughput(
+                    module, params, cfg)
     mfu = (flops_per_clip * clips_per_sec / TPU_PEAK_FLOPS
            if np.isfinite(flops_per_clip) else None)
 
