@@ -137,21 +137,16 @@ class WindowDataset:
             )
         s = self.frame_size
 
-        # native fused crop+resize+normalize (aicity_action_tpu/native);
-        # falls back to the cv2/numpy path when the lib is unavailable
-        from .. import native
-
-        x = native.crop_resize_normalize(
-            frames, self._roi_px, s, self.mean, self.std)
-        if x is None:
-            x1, y1, x2, y2 = self._roi_px
-            cropped = frames[:, y1:y2, x1:x2]
-            resized = np.empty((frames.shape[0], s, s, 3), np.uint8)
-            for i in range(frames.shape[0]):
-                resized[i] = cv2.resize(cropped[i], (s, s),
-                                        interpolation=cv2.INTER_LINEAR)
-            x = resized.astype(np.float32) / 255.0
-            x = (x - self.mean) / self.std
+        # same per-frame crop -> cv2.resize math as the streaming/chunk
+        # paths (the scoring paths' parity contract); cv2's fixed-point
+        # SIMD resize measured 8x faster than the float separable kernel
+        x1, y1, x2, y2 = self._roi_px
+        cropped = frames[:, y1:y2, x1:x2]
+        resized = np.empty((frames.shape[0], s, s, 3), np.uint8)
+        for i in range(frames.shape[0]):
+            cv2.resize(cropped[i], (s, s), dst=resized[i],
+                       interpolation=cv2.INTER_LINEAR)
+        x = (resized.astype(np.float32) / 255.0 - self.mean) / self.std
 
         inputs = pack_pathway_output(x, self.arch_pathways, self.slowfast_alpha)
         return inputs, t0, t1  # loader collates (inputs, label, index, meta)
@@ -176,9 +171,12 @@ class WindowDataset:
         ``[s*3//2, s]`` (chunk slab ``[F, s*3//2, s]``) — 1.5 bytes/pixel
         instead of 3. Source videos are natively 4:2:0, so the subsampled
         chroma carries the same information the decoder started from; the
-        consumer reconstructs RGB on-device (implies ``rgb`` is ignored:
-        the BGR→I420 conversion consumes the decoder's BGR directly and
-        the device inverse emits RGB, so no host cvtColor is needed)."""
+        consumer reconstructs RGB on-device. When the first-party FFmpeg
+        decoder applies (``native.VideoDecoderI420``: yuv420p source, lib
+        built, ``AICITY_VDEC`` not 0), frames come from the encoder's own
+        YUV planes sws-scaled at 1.5 B/px — no YUV→BGR→YUV round trip;
+        otherwise the cv2 path packs BGR→I420 per frame (``rgb`` is
+        ignored either way: the device inverse emits RGB directly)."""
         s = self.frame_size
         F = chunk_frames
         if yuv420:
@@ -186,41 +184,91 @@ class WindowDataset:
             rgb = False
         slab = np.empty(
             (F, s * 3 // 2, s) if yuv420 else (F, s, s, 3), np.uint8)
-        fill = 0
+
+        dec = self._open_vdec(s) if yuv420 else None
+        if dec is not None:
+            try:
+                yield from self._emit_chunks(slab, dec.read)
+            finally:
+                dec.close()
+            return
+
         cap = cv2.VideoCapture(self.video_path)
         write = self._frame_writer(s, yuv420, rgb)
-        last = None
+
+        def read_row(row) -> bool:
+            ok, frame = cap.read()
+            if not ok:
+                return False
+            if self._roi_px is None:
+                h, w = frame.shape[:2]
+                x1, y1, x2, y2 = self.roi
+                self._roi_px = (int(w * x1), int(h * y1),
+                                int(w * x2), int(h * y2))
+            write(frame, row)
+            return True
 
         try:
-            eof = False
-            while not eof:
-                ok, frame = cap.read()
-                if not ok:
-                    eof = True
-                else:
-                    if self._roi_px is None:
-                        h, w = frame.shape[:2]
-                        x1, y1, x2, y2 = self.roi
-                        self._roi_px = (int(w * x1), int(h * y1),
-                                        int(w * x2), int(h * y2))
-                    write(frame, slab[fill])
-                    last = slab[fill]
-                    fill += 1
-                if fill == F:
-                    out = slab
-                    slab = np.empty_like(slab)
-                    fill = 0
-                    last = out[-1].copy()  # consumer owns the yielded slab
-                    yield out
-            if fill and last is not None:
-                slab[fill:] = last
-                yield slab
-            while True:  # chunks past EOF: repeat-last padding
-                pad = np.empty_like(slab)
-                pad[:] = last if last is not None else 0
-                yield pad
+            yield from self._emit_chunks(slab, read_row)
         finally:
             cap.release()
+
+    @staticmethod
+    def _emit_chunks(slab, read_row):
+        """Drive ``read_row(slab_row) -> bool`` into full chunks: yields
+        each filled slab, pads the EOF partial with its own last frame,
+        then yields repeat-last padding chunks forever."""
+        F = slab.shape[0]
+        fill = 0
+        last = None
+        while True:
+            if read_row(slab[fill]):
+                last = slab[fill]
+                fill += 1
+            else:
+                break
+            if fill == F:
+                out = slab
+                slab = np.empty_like(slab)
+                fill = 0
+                last = out[-1].copy()  # consumer owns the yielded slab
+                yield out
+        if fill and last is not None:
+            slab[fill:] = last
+            yield slab
+        while True:  # chunks past EOF: repeat-last padding
+            pad = np.empty_like(slab)
+            pad[:] = last if last is not None else 0
+            yield pad
+
+    def _open_vdec(self, s: int):
+        """First-party FFmpeg I420 decoder when it applies to this video
+        (``native.VideoDecoderI420``); None falls back to cv2. Disable
+        with ``AICITY_VDEC=0`` (the cv2 and FFmpeg resamplers differ by
+        ~1 u8 LSB — A/B or bit-pinning runs force one backend)."""
+        if os.environ.get("AICITY_VDEC", "1") == "0":
+            return None
+        if self.backend != "cv2":
+            return None
+        from .. import native
+
+        roi = None
+        if tuple(self.roi) != (0.0, 0.0, 1.0, 1.0):
+            if self._roi_px is None:  # pixel ROI needs the frame dims
+                cap = cv2.VideoCapture(self.video_path)
+                ok, frame = cap.read()
+                cap.release()
+                if not ok:
+                    return None
+                h, w = frame.shape[:2]
+                x1, y1, x2, y2 = self.roi
+                self._roi_px = (int(w * x1), int(h * y1),
+                                int(w * x2), int(h * y2))
+            roi = self._roi_px
+        try:
+            return native.VideoDecoderI420(self.video_path, s, roi)
+        except Exception:
+            return None
 
     def _frame_writer(self, s: int, yuv420: bool, rgb: bool):
         """Returns ``write(frame, out_row)``: ROI-crop + resize ONE decoded
@@ -297,7 +345,32 @@ class WindowDataset:
         def decode(c: int):
             """Returns (slab, n_real): slab tail already padded with the
             chunk's own last frame when 0 < n_real < F (matching the
-            sequential generator's partial-chunk semantics)."""
+            sequential generator's partial-chunk semantics). Uses the same
+            decode backend (FFmpeg vdec or cv2) as the sequential
+            generator, keeping the bitwise-equality contract."""
+            dec = self._open_vdec(s) if yuv420 else None
+            if dec is not None:
+                slab = np.empty(shape(), np.uint8)
+                done = 0
+                try:
+                    if c and not dec.seek(c * F):
+                        # container refuses timestamp seeks: exact
+                        # sequential skip (same-backend frames only)
+                        scratch = np.empty(shape()[1:], np.uint8)
+                        for _ in range(c * F):
+                            if not dec.read(scratch):
+                                break
+                    while done < F:
+                        if not dec.read(slab[done]):
+                            break
+                        done += 1
+                finally:
+                    dec.close()
+                if not done:
+                    return None, 0
+                if done < F:
+                    slab[done:] = slab[done - 1]
+                return slab, done
             cap = cv2.VideoCapture(self.video_path)
             write = self._frame_writer(s, yuv420, rgb)  # per-thread scratch
             slab = np.empty(shape(), np.uint8)
@@ -381,8 +454,6 @@ class WindowDataset:
         single-pathway models).
         Yields ``(inputs, t0, t1)`` in t0 order.
         """
-        from .. import native
-
         # per-window sampled indices (ascending within and across windows)
         plans = [
             (t0, t1, sample_indices(t0, t1, self.frame_length,
@@ -390,6 +461,13 @@ class WindowDataset:
             for t0, t1 in self.windows
         ]
         cap = cv2.VideoCapture(self.video_path)
+        # the rolling buffer holds RESIZED RGB crops, not full-res frames:
+        # each decoded frame is crop+resized exactly once on ingest (same
+        # per-frame cv2 math as the chunk generators — the scoring paths'
+        # parity contract), and the ~4x window overlap then re-reads only
+        # s*s*3 bytes per use (0.6 MB vs 1.6 MB at 540p)
+        s = self.frame_size
+        write = self._frame_writer(s, yuv420=False, rgb=True)
         buf: dict[int, np.ndarray] = {}
         next_emit = 0
         frame_idx = 0
@@ -397,36 +475,13 @@ class WindowDataset:
 
         def build(idxs):
             last = max(buf) if buf else 0
-            frames = np.stack([
+            u8 = np.stack([
                 buf[int(i)] if int(i) in buf else buf[min(last, max(buf))]
                 for i in idxs
             ])
-            if self._roi_px is None:
-                h, w = frames.shape[1:3]
-                x1, y1, x2, y2 = self.roi
-                self._roi_px = (int(w * x1), int(h * y1),
-                                int(w * x2), int(h * y2))
-            s = self.frame_size
             if raw_u8:
-                u8 = native.crop_resize_u8(frames, self._roi_px, s)
-                if u8 is None:
-                    x1, y1, x2, y2 = self._roi_px
-                    cropped = frames[:, y1:y2, x1:x2]
-                    u8 = np.empty((frames.shape[0], s, s, 3), np.uint8)
-                    for i in range(frames.shape[0]):
-                        u8[i] = cv2.resize(cropped[i], (s, s),
-                                           interpolation=cv2.INTER_LINEAR)
                 return [u8]
-            x = native.crop_resize_normalize(
-                frames, self._roi_px, s, self.mean, self.std)
-            if x is None:
-                x1, y1, x2, y2 = self._roi_px
-                cropped = frames[:, y1:y2, x1:x2]
-                resized = np.empty((frames.shape[0], s, s, 3), np.uint8)
-                for i in range(frames.shape[0]):
-                    resized[i] = cv2.resize(
-                        cropped[i], (s, s), interpolation=cv2.INTER_LINEAR)
-                x = (resized.astype(np.float32) / 255.0 - self.mean) / self.std
+            x = (u8.astype(np.float32) / 255.0 - self.mean) / self.std
             return pack_pathway_output(x, self.arch_pathways,
                                        self.slowfast_alpha)
 
@@ -438,10 +493,14 @@ class WindowDataset:
                 if not ok:
                     eof = True
                     break
-                # SIMD BGR->RGB giving a CONTIGUOUS frame: stacking
-                # negative-stride [:, :, ::-1] views profiled at
-                # ~109 ms/window vs 2.5 ms contiguous
-                buf[frame_idx] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                if self._roi_px is None:
+                    h, w = frame.shape[:2]
+                    x1, y1, x2, y2 = self.roi
+                    self._roi_px = (int(w * x1), int(h * y1),
+                                    int(w * x2), int(h * y2))
+                row = np.empty((s, s, 3), np.uint8)
+                write(frame, row)
+                buf[frame_idx] = row
                 frame_idx += 1
             yield build(idxs), t0, t1
             next_emit += 1

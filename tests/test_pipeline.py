@@ -165,8 +165,11 @@ def test_i420_device_inverse_matches_cv2():
     assert np.abs(got - orig_rgb).mean() < 3.0
 
 
-def test_stream_chunks_yuv420_layout(tmp_path):
-    """YUV chunks carry the same frames as RGB chunks, I420-packed."""
+def test_stream_chunks_yuv420_layout(tmp_path, monkeypatch):
+    """YUV chunks carry the same frames as RGB chunks, I420-packed
+    (cv2 backend pinned: the FFmpeg decoder resamples in YUV space and is
+    covered by its own tolerance test below)."""
+    monkeypatch.setenv("AICITY_VDEC", "0")
     path = str(tmp_path / "v.mp4")
     _write_video(path, num_frames=40)
     ds = WindowDataset(path, frame_length=4, frame_stride=4,
@@ -182,6 +185,42 @@ def test_stream_chunks_yuv420_layout(tmp_path):
         for f in range(16):
             want = cv2.cvtColor(bgr[f], cv2.COLOR_BGR2YUV_I420)
             np.testing.assert_array_equal(yuv[f], want)
+
+
+def test_vdec_backend_matches_cv2_within_resample_tolerance(tmp_path,
+                                                            monkeypatch):
+    """The first-party FFmpeg decoder (native.VideoDecoderI420) must track
+    the cv2 chunk path frame-for-frame: same frame ORDER (content encodes
+    the index in a solid luma level), small value deltas (sws resamples the
+    encoder's own YUV planes; cv2 round-trips through BGR), and identical
+    EOF-padding semantics."""
+    from aicity_action_tpu import native
+
+    if native._load_vdec() is None:
+        pytest.skip("libvideodec unavailable")
+    path = str(tmp_path / "v.mp4")
+    _write_video(path, num_frames=40)
+    mk = lambda: WindowDataset(path, frame_length=4, frame_stride=4,
+                               proposal_stride=16, frame_size=32)
+    monkeypatch.setenv("AICITY_VDEC", "0")
+    cv2_chunks = [next(g) for g in [mk().stream_chunks(16, yuv420=True)]
+                  for _ in range(4)]
+    monkeypatch.setenv("AICITY_VDEC", "1")
+    ds = mk()
+    assert ds._open_vdec(32) is not None, "vdec must engage on mp4v yuv420p"
+    vg = ds.stream_chunks(16, yuv420=True)
+    vdec_chunks = [next(vg) for _ in range(4)]
+    for c, (a, b) in enumerate(zip(vdec_chunks, cv2_chunks)):
+        assert a.shape == b.shape == (16, 48, 32)
+        diff = np.abs(a.astype(int) - b.astype(int))
+        # mean must be ~1 LSB (same frames, different resampler); a frame
+        # ORDER slip on this content means whole-plane deltas >= 5
+        assert diff.mean() < 2.0, f"chunk {c}: mean {diff.mean()}"
+        s = 32
+        y_means_a = a[:, :s, :].reshape(16, -1).mean(1)
+        y_means_b = b[:, :s, :].reshape(16, -1).mean(1)
+        np.testing.assert_allclose(y_means_a, y_means_b, atol=2.0,
+                                   err_msg=f"chunk {c} frame order")
 
 
 @pytest.mark.parametrize("num_frames,F", [
