@@ -29,8 +29,11 @@ def _load():
         _tried = True
         if not os.path.exists(_LIB_PATH):
             try:
+                # explicit target: the default `all` also builds the FFmpeg
+                # decoder, whose failure on header-less hosts must not take
+                # the preprocessing library down with it
                 subprocess.run(
-                    ["make", "-C", _DIR], check=True,
+                    ["make", "-C", _DIR, "libpreprocess.so"], check=True,
                     capture_output=True, timeout=120,
                 )
             except Exception:
@@ -162,6 +165,8 @@ def _load_vdec():
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
         lib.vdec_seek.restype = ctypes.c_int
         lib.vdec_seek.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.vdec_skip.restype = ctypes.c_int64
+        lib.vdec_skip.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.vdec_close.argtypes = [ctypes.c_void_p]
         _vdec_lib = lib
         return _vdec_lib
@@ -202,8 +207,13 @@ class VideoDecoderI420:
 
     def seek(self, frame_idx: int) -> bool:
         """Position so the next read returns ``frame_idx``. Returns False
-        when the container refuses (caller reopens + skips instead)."""
+        when the container refuses (caller skips instead)."""
         return self._lib.vdec_seek(self._h, int(frame_idx)) == 0
+
+    def skip(self, n: int) -> int:
+        """Decode-and-discard ``n`` frames without crop/scale work (the
+        cheap analog of cv2's grab()); returns frames actually skipped."""
+        return int(self._lib.vdec_skip(self._h, int(n)))
 
     def close(self):
         if self._h:

@@ -187,8 +187,11 @@ int vdec_seek(void* handle, int64_t target) {
     avcodec_flush_buffers(d->dec);
     d->draining = false;
     // decode forward until the frame AT OR PAST target lands next;
-    // half-frame tolerance absorbs timestamp rounding
-    int64_t half = av_rescale(1, d->frame_dur.num, 2 * d->frame_dur.den);
+    // half-frame tolerance absorbs timestamp rounding. TRUNCATED, not
+    // av_rescale's round-to-nearest: with frame_dur == 1 tick (time_base
+    // == 1/fps) a rounded half of 1 would accept frame target-1 and
+    // silently shift every seek one frame early.
+    int64_t half = d->frame_dur.num / (2 * d->frame_dur.den);
     for (;;) {
         int r = next_frame(d);
         if (r < 0) return r;
@@ -206,6 +209,22 @@ int vdec_seek(void* handle, int64_t target) {
         }
         av_frame_unref(d->frame);
     }
+}
+
+// Decode and discard `n` frames WITHOUT crop/scale work — the cheap
+// analog of cv2's grab() for containers that refuse timestamp seeks.
+// Returns the number of frames actually skipped (< n means EOF).
+int64_t vdec_skip(void* handle, int64_t n) {
+    VDec* d = static_cast<VDec*>(handle);
+    int64_t done = 0;
+    while (done < n) {
+        int r = next_frame(d);
+        if (r <= 0) break;
+        av_frame_unref(d->frame);
+        d->next_frame += 1;
+        done += 1;
+    }
+    return done;
 }
 
 void vdec_close(void* handle) {

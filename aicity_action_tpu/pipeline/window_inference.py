@@ -91,6 +91,23 @@ class WindowDataset:
     def __len__(self):
         return len(self.windows)
 
+    def _resolve_roi_px(self, frame=None) -> Optional[tuple]:
+        """Resolve the relative ROI to source pixels once. Uses ``frame``'s
+        dims when given, else decodes one frame for them. Returns the
+        pixel ROI (None only if no frame decodes)."""
+        if self._roi_px is None:
+            if frame is None:
+                cap = cv2.VideoCapture(self.video_path)
+                ok, frame = cap.read()
+                cap.release()
+                if not ok:
+                    return None
+            h, w = frame.shape[:2]
+            x1, y1, x2, y2 = self.roi
+            self._roi_px = (int(w * x1), int(h * y1),
+                            int(w * x2), int(h * y2))
+        return self._roi_px
+
     def _read(self, idxs: np.ndarray) -> np.ndarray:
         if self.backend == "decord":
             if self._vr is None:
@@ -128,13 +145,7 @@ class WindowDataset:
         t0, t1 = self.windows[int(idx)]
         frame_idxs = sample_indices(t0, t1, self.frame_length, self.num_frames)
         frames = self._read(frame_idxs)  # [T, H, W, 3] uint8 RGB
-
-        if self._roi_px is None:
-            h, w = frames.shape[1:3]
-            x1, y1, x2, y2 = self.roi
-            self._roi_px = (
-                int(w * x1), int(h * y1), int(w * x2), int(h * y2)
-            )
+        self._resolve_roi_px(frames[0])
         s = self.frame_size
 
         # same per-frame crop -> cv2.resize math as the streaming/chunk
@@ -200,11 +211,7 @@ class WindowDataset:
             ok, frame = cap.read()
             if not ok:
                 return False
-            if self._roi_px is None:
-                h, w = frame.shape[:2]
-                x1, y1, x2, y2 = self.roi
-                self._roi_px = (int(w * x1), int(h * y1),
-                                int(w * x2), int(h * y2))
+            self._resolve_roi_px(frame)
             write(frame, row)
             return True
 
@@ -235,6 +242,7 @@ class WindowDataset:
                 yield out
         if fill and last is not None:
             slab[fill:] = last
+            last = slab[-1].copy()  # consumer owns the yielded slab too
             yield slab
         while True:  # chunks past EOF: repeat-last padding
             pad = np.empty_like(slab)
@@ -254,17 +262,14 @@ class WindowDataset:
 
         roi = None
         if tuple(self.roi) != (0.0, 0.0, 1.0, 1.0):
-            if self._roi_px is None:  # pixel ROI needs the frame dims
-                cap = cv2.VideoCapture(self.video_path)
-                ok, frame = cap.read()
-                cap.release()
-                if not ok:
-                    return None
-                h, w = frame.shape[:2]
-                x1, y1, x2, y2 = self.roi
-                self._roi_px = (int(w * x1), int(h * y1),
-                                int(w * x2), int(h * y2))
-            roi = self._roi_px
+            roi = self._resolve_roi_px()
+            if roi is None:
+                return None
+            # vdec crops I420 planes, which needs even-aligned bounds; an
+            # odd pixel ROI would silently shift the crop 1px vs the exact
+            # cv2 path — keep the backends interchangeable instead
+            if any(v % 2 for v in roi):
+                return None
         try:
             return native.VideoDecoderI420(self.video_path, s, roi)
         except Exception:
@@ -329,15 +334,7 @@ class WindowDataset:
         if yuv420:
             assert s % 2 == 0, "I420 packing needs an even frame size"
             rgb = False
-        if self._roi_px is None:  # resolve once before workers race on it
-            cap = cv2.VideoCapture(self.video_path)
-            ok, frame = cap.read()
-            cap.release()
-            if ok:
-                h, w = frame.shape[:2]
-                x1, y1, x2, y2 = self.roi
-                self._roi_px = (int(w * x1), int(h * y1),
-                                int(w * x2), int(h * y2))
+        self._resolve_roi_px()  # resolve once before workers race on it
 
         def shape():
             return (F, s * 3 // 2, s) if yuv420 else (F, s, s, 3)
@@ -355,11 +352,9 @@ class WindowDataset:
                 try:
                     if c and not dec.seek(c * F):
                         # container refuses timestamp seeks: exact
-                        # sequential skip (same-backend frames only)
-                        scratch = np.empty(shape()[1:], np.uint8)
-                        for _ in range(c * F):
-                            if not dec.read(scratch):
-                                break
+                        # decode-and-discard skip (no crop/scale work —
+                        # the vdec analog of cv2's grab())
+                        dec.skip(c * F)
                     while done < F:
                         if not dec.read(slab[done]):
                             break
@@ -493,11 +488,7 @@ class WindowDataset:
                 if not ok:
                     eof = True
                     break
-                if self._roi_px is None:
-                    h, w = frame.shape[:2]
-                    x1, y1, x2, y2 = self.roi
-                    self._roi_px = (int(w * x1), int(h * y1),
-                                    int(w * x2), int(h * y2))
+                self._resolve_roi_px(frame)
                 row = np.empty((s, s, 3), np.uint8)
                 write(frame, row)
                 buf[frame_idx] = row
@@ -757,11 +748,16 @@ class WindowScorer:
         q: _queue.Queue = _queue.Queue(maxsize=2)
 
         def _decoder():
-            for _ in range(n_chunks):
-                t = _time.time()
-                chunk = next(gen)
-                timers["decode"] += _time.time() - t
-                q.put(chunk)
+            # a decode error must reach the main loop, not strand it on
+            # q.get(): ship the exception through the queue and stop
+            try:
+                for _ in range(n_chunks):
+                    t = _time.time()
+                    chunk = next(gen)
+                    timers["decode"] += _time.time() - t
+                    q.put(chunk)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                q.put(e)
 
         th = threading.Thread(target=_decoder, daemon=True)
         th.start()
@@ -794,6 +790,8 @@ class WindowScorer:
                          np.uint8), self._repl)
             for c in range(n_chunks):
                 chunk = q.get()
+                if isinstance(chunk, BaseException):
+                    raise chunk
                 t = _time.time()
                 dev_chunk = jax.device_put(chunk, self._repl)
                 timers["upload"] += _time.time() - t
