@@ -651,11 +651,11 @@ class WindowScorer:
         stride<length overlapping windows on-device.
 
         The host path decodes+resizes each frame once (``stream_chunks``)
-        and uploads fixed-size uint8 frame chunks; a jitted step indexes the
-        resident ``[TAIL+F, s, s, 3]`` frame buffer with per-window frame
-        indices, normalizes on-device, and runs the model. vs the
-        host-window path this removes the per-window frame stacking and
-        cuts host→device bytes by the window overlap factor
+        and uploads fixed-size uint8 frame chunks; a jitted step indexes a
+        resident ``[TAIL+2F, s, s, 3]`` two-chunk frame buffer with
+        per-window frame indices, normalizes on-device, and runs the
+        model. vs the host-window path this removes the per-window frame
+        stacking and cuts host→device bytes by the window overlap factor
         (~length/stride = 4x for the AI City 64/16 windows).
         """
         jax = self._jax
@@ -679,13 +679,17 @@ class WindowScorer:
         for w, (_, _, idxs) in enumerate(plans):
             by_chunk.setdefault(int(idxs[-1]) // F, []).append(w)
         n_chunks = max(by_chunk) + 1
-        # ONE dispatch per chunk: every RPC to a remote/tunneled device (and
-        # every kernel-launch batch locally) carries latency, so all of a
-        # chunk's windows (~F/proposal_stride) score in one padded call.
-        # nw is a FIXED attribute-derived shape (not per-video) so warm-up
-        # runs compile the same executable; overfull chunks split.
+        # ONE dispatch per PAIR of chunks: every RPC to a remote/tunneled
+        # device (and every kernel-launch batch locally) carries latency
+        # (~0.65 s CPU/call through this tunnel — stolen 1:1 from the
+        # decode thread on a 1-core host), so two chunks' windows
+        # (~2F/proposal_stride) score in one padded call over a
+        # [TAIL+2F]-row buffer. nw is a FIXED attribute-derived shape (not
+        # per-video) so warm-up runs compile the same executable; overfull
+        # pairs split; an odd final chunk passes itself as its pair
+        # partner (rows past TAIL+F are simply never indexed).
         n_data = int(self.mesh.shape[self.mesh.axis_names[0]])
-        nw = -(-self.windows_per_call // n_data) * n_data
+        nw = -(-2 * self.windows_per_call // n_data) * n_data
 
         chroma = self.chroma420 and s % 2 == 0
         if chroma:
@@ -698,12 +702,12 @@ class WindowScorer:
             mean = jnp.asarray(dataset.mean, jnp.float32)
             std = jnp.asarray(dataset.std, jnp.float32)
 
-            def score_fn(v, prev_chunk, chunk, idx):
+            def score_fn(v, prev_chunk, a, b, idx):
                 # The cross-chunk tail is assembled INSIDE jit: an eager
                 # concat/slice costs a full RPC round trip per chunk on a
                 # tunneled device (measured ~1 s/chunk). Gather u8 rows
                 # first (1.5 B/px), then reconstruct RGB per window.
-                buf = jnp.concatenate([prev_chunk[F - TAIL:], chunk], 0)
+                buf = jnp.concatenate([prev_chunk[F - TAIL:], a, b], 0)
                 yuv = buf[idx]                       # [nw, T, s*3//2, s] u8
                 x = (i420_to_rgb(yuv, s) / 255.0 - mean) / std
                 return module.apply(v, [x], train=False)
@@ -717,9 +721,9 @@ class WindowScorer:
             std = jnp.asarray(
                 dataset.std[::-1] if bgr else dataset.std, jnp.float32)
 
-            def score_fn(v, prev_chunk, chunk, idx):
+            def score_fn(v, prev_chunk, a, b, idx):
                 # chunks [F, s, s, 3] u8 (replicated); idx [nw, T] (sharded)
-                buf = jnp.concatenate([prev_chunk[F - TAIL:], chunk], 0)
+                buf = jnp.concatenate([prev_chunk[F - TAIL:], a, b], 0)
                 x = buf[idx]
                 x = (x.astype(jnp.float32) / 255.0 - mean) / std
                 return module.apply(v, [x], train=False)
@@ -761,46 +765,51 @@ class WindowScorer:
 
         th = threading.Thread(target=_decoder, daemon=True)
         th.start()
-        # every (chunk, window-group) index array is known before the first
+        # every (pair, window-group) index array is known before the first
         # frame decodes — upload them ALL in one batched device_put (one
-        # round trip on a tunneled device instead of one per chunk)
-        calls = []  # (chunk, device idx, [(t0, t1)])
+        # round trip on a tunneled device instead of one per call). Pair p
+        # scores chunks (2p, 2p+1) in one call; its window indices offset
+        # from base 2p*F into the [TAIL + 2F]-row buffer.
+        n_pairs = -(-n_chunks // 2)
+        pair_calls: dict[int, list] = {}  # p -> [(device idx, spans)]
         host_idx = []
-        for c in range(n_chunks):
-            base = c * F
-            ws = by_chunk.get(c, [])
+        flat = []  # (p, spans) aligned with host_idx
+        for p in range(n_pairs):
+            base = 2 * p * F
+            ws = by_chunk.get(2 * p, []) + by_chunk.get(2 * p + 1, [])
             for i in range(0, len(ws), nw):
                 grp = ws[i:i + nw]
                 idx = np.zeros((nw, T), np.int32)
                 for r, w in enumerate(grp):
                     idx[r] = plans[w][2] - base + TAIL
                 host_idx.append(idx)
-                calls.append((c, None, [(plans[w][0], plans[w][1])
-                                        for w in grp]))
+                flat.append((p, [(plans[w][0], plans[w][1]) for w in grp]))
         dev_idx = jax.device_put(host_idx, self._b_sh)
-        calls = [(c, di, spans)
-                 for (c, _, spans), di in zip(calls, dev_idx)]
-        by_chunk_calls: dict[int, list] = {}
-        for call in calls:
-            by_chunk_calls.setdefault(call[0], []).append(call)
+        for (p, spans), di in zip(flat, dev_idx):
+            pair_calls.setdefault(p, []).append((di, spans))
         pending = []
         with self.mesh:
             prev_chunk = jax.device_put(
                 np.zeros((F, s * 3 // 2, s) if chroma else (F, s, s, 3),
                          np.uint8), self._repl)
-            for c in range(n_chunks):
-                chunk = q.get()
-                if isinstance(chunk, BaseException):
-                    raise chunk
+            for p in range(n_pairs):
+                devs = []
+                for _ in range(2 if 2 * p + 1 < n_chunks else 1):
+                    chunk = q.get()
+                    if isinstance(chunk, BaseException):
+                        raise chunk
+                    t = _time.time()
+                    devs.append(jax.device_put(chunk, self._repl))
+                    timers["upload"] += _time.time() - t
+                a = devs[0]
+                b = devs[-1]  # odd final chunk pairs with itself: rows
+                # past TAIL+F are never indexed by its window plans
                 t = _time.time()
-                dev_chunk = jax.device_put(chunk, self._repl)
-                timers["upload"] += _time.time() - t
-                t = _time.time()
-                for _, idx, spans in by_chunk_calls.get(c, []):
-                    out = fn(variables, prev_chunk, dev_chunk, idx)
+                for idx, spans in pair_calls.get(p, []):
+                    out = fn(variables, prev_chunk, a, b, idx)
                     pending.append((out, spans))
                 timers["dispatch"] += _time.time() - t
-                prev_chunk = dev_chunk
+                prev_chunk = b
             # one stacked fetch: per-batch device_get is one round trip EACH
             t = _time.time()
             arrs = np.asarray(
