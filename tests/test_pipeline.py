@@ -147,6 +147,70 @@ def test_window_scorer_end_to_end(video, tmp_path):
         np.testing.assert_allclose(a[2], b[2], atol=5e-3)
 
 
+def test_gather_pair_tails_with_overlapping_windows(video):
+    """Cross-chunk/pair tail assembly under HEAVY window overlap.
+
+    The production AI City windows (span 64, stride 16) straddle chunk and
+    pair boundaries constantly; the 60fps-renormalized e2e test above has
+    NON-overlapping windows, so its windows never index the ``prev_chunk``
+    tail rows. This pins the pair path's base/tail arithmetic where it is
+    actually exercised: stride 4 < span 17 > chunk_frames/2, 7 chunks (odd
+    count -> the final chunk pairs with itself), windows_per_call=3 forcing
+    overfull pair splits. Chunk partitioning must never change the math:
+    the multi-pair run must match both the single-chunk gather run and the
+    host streaming path.
+    """
+    import jax
+
+    from aicity_action_tpu.models.build import build_model
+    from aicity_action_tpu.parallel.mesh import make_mesh
+
+    cfg = get_cfg()
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.INPUT_CHANNEL_NUM = [3]
+    cfg.MODEL.MODEL_NAME = "MViT"
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.MVIT.EMBED_DIM = 16
+    cfg.MVIT.DEPTH = 1
+    cfg.MVIT.PATCH_PADDING = (1, 3, 3)
+    cfg.MVIT.CLS_EMBED_ON = False
+    cfg.MVIT.SEP_POS_EMBED = True
+
+    mesh = make_mesh(cfg, devices=jax.devices()[:2])
+    module, params = build_model(cfg)
+
+    ds = WindowDataset(video, frame_length=4, frame_stride=4,
+                       proposal_stride=4, frame_size=32)
+    assert ds.windows[1] == (4, 20)  # stride < span: windows overlap 4x
+
+    # single-chunk reference run (one pair, self-paired)
+    scorer_1 = WindowScorer(module, params, mesh, batch_size=4,
+                            chunk_frames=512)
+    preds_1 = scorer_1._score_device_gather(ds)
+    assert len(preds_1) == len(ds)
+
+    # multi-pair run: 200 frames / F=32 -> 7 chunks -> 4 pairs, odd tail
+    scorer_mp = WindowScorer(module, params, mesh, batch_size=4,
+                             chunk_frames=32)
+    scorer_mp.windows_per_call = 3
+    preds_mp = scorer_mp._score_device_gather(ds)
+    assert [p[:2] for p in preds_1] == [p[:2] for p in preds_mp]
+    for a, b in zip(preds_1, preds_mp):
+        np.testing.assert_allclose(a[2], b[2], atol=2e-5)
+
+    # bit-exact RGB multi-pair run vs the host streaming path
+    scorer_rgb = WindowScorer(module, params, mesh, batch_size=4,
+                              chunk_frames=32, chroma420=False)
+    scorer_rgb.windows_per_call = 3
+    preds_rgb = scorer_rgb._score_device_gather(ds)
+    preds_host = scorer_rgb._score_streaming(ds)
+    assert [p[:2] for p in preds_rgb] == [p[:2] for p in preds_host]
+    for a, b in zip(preds_rgb, preds_host):
+        np.testing.assert_allclose(a[2], b[2], atol=2e-5)
+
+
 def test_i420_device_inverse_matches_cv2():
     """The jitted BT.601 inverse must reproduce cv2's I420 decode on real
     color content (<=1.5/255 per channel: cv2 is fixed-point, ours f32)."""
