@@ -3,14 +3,27 @@
 Replaces detectron2's CUDA ROIAlign (used by the reference's detection head,
 `head_helper.py:78-84`). Implements the detectron2 v2 semantics
 (``aligned=True``: coordinates shifted by -0.5 for correct pixel-center
-alignment) and the legacy mode. ``sampling_ratio=0`` (adaptive) uses
-ceil(roi_size / out_size) samples per bin, matching torchvision/detectron2.
+alignment) and the legacy mode, with the exact CPU-kernel rules:
+
+- ``sampling_ratio=0`` (adaptive) uses ``ceil(roi_size / out_size)`` samples
+  per bin **per ROI** (grid height from roi height, grid width from roi
+  width), not a global bound. JAX needs static shapes, so the sample grid is
+  sized to a static upper bound and per-ROI masked: samples past a box's own
+  grid count contribute zero and the bin divides by that box's true
+  ``max(grid_h * grid_w, 1)`` (degenerate boxes with a 0-sample grid yield
+  0, as in the reference kernel's empty loop).
+- bilinear samples are zero only strictly outside ``[-1, size]``
+  (``y < -1 or y > H`` — boundary-inclusive survival); surviving coords
+  clamp to ``[0, size-1]``, which reproduces the kernel's ``y <= 0 -> 0``
+  and ``y_low >= H-1 -> y = H-1`` clamps.
 
 Everything is static-shape and vectorized: for a fixed number of boxes the
-whole op lowers to gathers + matmul-free VPU work, jit/vmap friendly.
+whole op lowers to gathers + VPU work, jit/vmap friendly.
 """
 
 from __future__ import annotations
+
+import math
 
 import jax
 import jax.numpy as jnp
@@ -19,11 +32,12 @@ import jax.numpy as jnp
 def _bilinear(img: jax.Array, y: jax.Array, x: jax.Array) -> jax.Array:
     """Sample img [H, W, C] at float coords y/x [...] → [..., C].
 
-    Out-of-range samples clamp to the border after the -1 < y < H check
-    zeroes them (torchvision semantics: y < -1 or y > H → 0).
+    detectron2 bilinear_interpolate: zero iff y < -1 or y > H (likewise x);
+    otherwise clamp into [0, size-1] and interpolate (the clamp covers both
+    the ``y <= 0 -> y = 0`` and the ``y_low >= H-1 -> y = H-1`` rules).
     """
     H, W = img.shape[0], img.shape[1]
-    valid = (y > -1.0) & (y < H) & (x > -1.0) & (x < W)
+    valid = (y >= -1.0) & (y <= H) & (x >= -1.0) & (x <= W)
     y = jnp.clip(y, 0.0, H - 1)
     x = jnp.clip(x, 0.0, W - 1)
     y0 = jnp.floor(y).astype(jnp.int32)
@@ -53,6 +67,7 @@ def roi_align(
     spatial_scale: float,
     sampling_ratio: int = 0,
     aligned: bool = True,
+    max_samples: int | None = None,
 ) -> jax.Array:
     """ROIAlign.
 
@@ -63,11 +78,19 @@ def roi_align(
         reference loader.py:98-132).
       output_size: output bin grid (square).
       spatial_scale: multiply box coords by this (1/stride).
-      sampling_ratio: samples per bin dim; 0 = adaptive ceil(roi/out).
+      sampling_ratio: samples per bin dim; 0 = adaptive ceil(roi/out) per
+        ROI and per axis (detectron2 CPU/CUDA kernel rule).
       aligned: detectron2 "aligned" mode (-0.5 shift).
+      max_samples: static per-axis cap on the adaptive grid. Defaults to
+        ``ceil(H_feat / out)`` / ``ceil(W_feat / out)`` — exact whenever
+        boxes are clipped to the input image (the AVA loaders clip). A box
+        whose scaled extent exceeds the feature map saturates at the cap;
+        raise it for such callers.
 
     Returns ``[N, output_size, output_size, C]``.
     """
+    features = jnp.asarray(features)
+    boxes = jnp.asarray(boxes)
     B, H, W, C = features.shape
     out = output_size
     offset = 0.5 if aligned else 0.0
@@ -88,24 +111,42 @@ def roi_align(
     bin_h = roi_h / out
 
     if sampling_ratio > 0:
-        ns = sampling_ratio
+        ns_h = ns_w = sampling_ratio
+        gh = jnp.full_like(roi_h, sampling_ratio)
+        gw = jnp.full_like(roi_w, sampling_ratio)
     else:
-        # adaptive: static upper bound from the max possible roi size
-        ns = max(int(jnp.ceil(H / out)) if False else -(-H // out), 1)
+        # per-ROI adaptive grid; static shape = the cap, dynamic count = gh/gw
+        if max_samples is None:
+            ns_h = max(math.ceil(H / out), 1)
+            ns_w = max(math.ceil(W / out), 1)
+        else:
+            ns_h = ns_w = max_samples
+        gh = jnp.clip(jnp.ceil(roi_h / out), 0, ns_h)
+        gw = jnp.clip(jnp.ceil(roi_w / out), 0, ns_w)
+    count = jnp.maximum(gh * gw, 1.0)  # [N]
 
-    # sample grid per box: [out, ns] offsets within each bin
-    ix = (jnp.arange(out)[:, None] + (jnp.arange(ns)[None, :] + 0.5) / ns)
-    # y coords [N, out, ns]
-    ys = y1[:, None, None] + ix[None] * bin_h[:, None, None]
-    xs = x1[:, None, None] + ix[None] * bin_w[:, None, None]
+    # sample coords: y = y1 + (ph + (iy + 0.5)/gh) * bin_h, iy in [0, gh)
+    iy = jnp.arange(ns_h, dtype=jnp.float32)
+    ix = jnp.arange(ns_w, dtype=jnp.float32)
+    ph = jnp.arange(out, dtype=jnp.float32)
+    # [N, out, ns]: bin index + within-bin offset (per-box grid count)
+    fy = ph[None, :, None] + (iy[None, None, :] + 0.5) / jnp.maximum(
+        gh, 1.0)[:, None, None]
+    fx = ph[None, :, None] + (ix[None, None, :] + 0.5) / jnp.maximum(
+        gw, 1.0)[:, None, None]
+    ys = y1[:, None, None] + fy * bin_h[:, None, None]
+    xs = x1[:, None, None] + fx * bin_w[:, None, None]
+    my = (iy[None, :] < gh[:, None]).astype(features.dtype)  # [N, ns_h]
+    mx = (ix[None, :] < gw[:, None]).astype(features.dtype)  # [N, ns_w]
 
-    def one_box(b, ys_b, xs_b):
+    def one_box(b, ys_b, xs_b, my_b, mx_b, count_b):
         img = features[b]
-        # full sample grid [out*ns, out*ns]
-        yy = jnp.repeat(ys_b.reshape(-1), out * ns)
-        xx = jnp.tile(xs_b.reshape(-1), out * ns)
-        vals = _bilinear(img, yy, xx)  # [out*ns*out*ns, C]
-        vals = vals.reshape(out, ns, out, ns, C)
-        return vals.mean(axis=(1, 3))
+        # full sample grid [out, ns_h, out, ns_w]
+        yy = ys_b[:, :, None, None]
+        xx = xs_b[None, None, :, :]
+        vals = _bilinear(img, jnp.broadcast_to(yy, (out, ns_h, out, ns_w)),
+                         jnp.broadcast_to(xx, (out, ns_h, out, ns_w)))
+        w = my_b[None, :, None, None] * mx_b[None, None, None, :]
+        return (vals * w[..., None]).sum(axis=(1, 3)) / count_b
 
-    return jax.vmap(one_box)(batch_idx, ys, xs)
+    return jax.vmap(one_box)(batch_idx, ys, xs, my, mx, count)

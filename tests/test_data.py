@@ -346,3 +346,72 @@ def test_imagenet_directory_tree_and_preload(tmp_path):
     cfg.DATA.PATH_TO_PRELOAD_IMDB = str(pre)
     ds2 = build_dataset("imagenet", cfg, "train")
     assert len(ds2) == 1 and ds2[0][1] == 7
+
+
+# ------------------------------------- label-path parity (VERDICT r4 #6)
+# Reference semantics: mmit multi-hot parse (mmit.py:139-153), activitynet
+# first-label-only (activitynet.py:134-135), VAL_SKIP keeping every k-th
+# ORIGINAL csv row in val mode only (mmit.py:97-100,129-131).
+def _label_cfg(tmp_path, dataset, num_classes=10):
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = str(tmp_path)
+    cfg.DATA.PATH_PREFIX = str(tmp_path)
+    cfg.MODEL.NUM_CLASSES = num_classes
+    cfg.TRAIN.DATASET = dataset
+    cfg.TEST.DATASET = dataset
+    return cfg
+
+
+def test_mmit_multihot_parse(tmp_path):
+    with open(tmp_path / "train.csv", "w") as f:
+        f.write("a.mp4 3,7,0\n")
+        f.write("b.mp4 5\n")
+    cfg = _label_cfg(tmp_path, "mmit")
+    ds = build_dataset("mmit", cfg, "train")
+    assert len(ds) == 2
+    lab0, lab1 = ds._labels[0], ds._labels[1]
+    assert lab0.dtype == np.float32 and lab0.shape == (10,)
+    np.testing.assert_array_equal(np.nonzero(lab0)[0], [0, 3, 7])
+    np.testing.assert_array_equal(np.nonzero(lab1)[0], [5])
+    assert lab0.sum() == 3.0  # ones, not counts
+
+
+def test_activitynet_first_label_only(tmp_path):
+    with open(tmp_path / "train.csv", "w") as f:
+        f.write("a.mp4 5,9,2\n")
+        f.write("b.mp4 1\n")
+    cfg = _label_cfg(tmp_path, "activitynet")
+    ds = build_dataset("activitynet", cfg, "train")
+    assert ds._labels == [5, 1]
+
+
+def test_val_skip_subsampling(tmp_path):
+    # 7 rows, VAL_SKIP=3 -> original row indices {0, 3, 6} survive in val;
+    # train is never skipped
+    for split in ("train", "val"):
+        with open(tmp_path / f"{split}.csv", "w") as f:
+            for i in range(7):
+                f.write(f"v{i}.mp4 {i}\n")
+    cfg = _label_cfg(tmp_path, "mmit")
+    cfg.DATA.VAL_SKIP = 3
+    val = build_dataset("mmit", cfg, "val")
+    assert [np.argmax(lb) for lb in val._labels] == [0, 3, 6]
+    train = build_dataset("mmit", cfg, "train")
+    assert len(train) == 7
+
+    # activitynet shares the same skip rule (activitynet.py:128-130)
+    anet = build_dataset("activitynet", cfg, "val")
+    assert anet._labels == [0, 3, 6]
+
+
+def test_test_skip_subsampling(tmp_path):
+    with open(tmp_path / "test.csv", "w") as f:
+        for i in range(6):
+            f.write(f"v{i}.mp4 {i}\n")
+    cfg = _label_cfg(tmp_path, "activitynet")
+    cfg.DATA.TEST_SKIP = 2
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 2
+    cfg.TEST.NUM_SPATIAL_CROPS = 1
+    ds = build_dataset("activitynet", cfg, "test")
+    # rows {0, 2, 4} survive, each replicated num_clips=2 times
+    assert ds._labels == [0, 0, 2, 2, 4, 4]
