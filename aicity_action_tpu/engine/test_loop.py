@@ -18,6 +18,8 @@ from ..data.loader import construct_loader
 from ..models.build import build_model_with_state
 from ..parallel.mesh import (
     batch_sharding,
+    cast_for_transfer,
+    host_transfer_dtype,
     init_distributed,
     make_mesh,
     process_allgather,
@@ -93,12 +95,14 @@ def test(cfg):
     state = jax.device_put(state, replicated(mesh))
 
     per_host_batch = loader.batch_size
+    in_dtype = host_transfer_dtype(cfg)
     local_preds, local_labels, local_index = [], [], []
     with mesh:
         for batch in loader:
             batch, n_valid = _pad_batch(batch, per_host_batch)
             dev_batch = {
-                "inputs": [jax.device_put(x, b_sh) for x in batch["inputs"]],
+                "inputs": [jax.device_put(cast_for_transfer(x, in_dtype),
+                                          b_sh) for x in batch["inputs"]],
             }
             preds = jitted_eval(state.params, dev_batch, state.model_state)
             local_preds.append(

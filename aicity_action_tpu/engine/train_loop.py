@@ -17,7 +17,10 @@ import numpy as np
 from ..data.loader import construct_loader, shuffle_dataset
 from ..data.mixup import build_mixup_from_cfg
 from ..models.build import build_model_with_state
-from ..parallel.mesh import batch_sharding, init_distributed, make_mesh, replicated
+from ..parallel.mesh import (
+    batch_sharding, cast_for_transfer, host_transfer_dtype, init_distributed,
+    make_mesh, replicated,
+)
 from ..solver.optimizer import construct_optimizer
 from ..utils import checkpoint as cu
 from ..utils.logging import get_logger, setup_logging
@@ -182,10 +185,12 @@ def train(cfg):
         writer = TensorboardWriter(cfg)
 
     per_host_batch = train_loader.batch_size
+    in_dtype = host_transfer_dtype(cfg)
 
     def put(batch):
         out = {
-            "inputs": [jax.device_put(x, b_sh) for x in batch["inputs"]],
+            "inputs": [jax.device_put(cast_for_transfer(x, in_dtype), b_sh)
+                       for x in batch["inputs"]],
             "labels": jax.device_put(batch["labels"], b_sh),
         }
         for key in ("boxes", "box_mask", "dataset_idx"):
@@ -466,12 +471,14 @@ def eval_epoch(cfg, mesh, jitted_eval, state, val_loader, val_meter,
                cur_epoch, per_host_batch):
     """Validation pass (reference: train_net.py:339-540)."""
     b_sh = batch_sharding(mesh)
+    in_dtype = host_transfer_dtype(cfg)
     val_meter.reset()
     with mesh:
         for batch in val_loader:
             batch, n_valid = _pad_batch(batch, per_host_batch)
             dev_batch = {
-                "inputs": [jax.device_put(x, b_sh) for x in batch["inputs"]],
+                "inputs": [jax.device_put(cast_for_transfer(x, in_dtype),
+                                          b_sh) for x in batch["inputs"]],
             }
             preds = jitted_eval(state.params, dev_batch, state.model_state)
             preds_np = np.asarray(jax.device_get(preds), np.float32)[:n_valid]

@@ -77,6 +77,32 @@ def make_mesh(cfg=None, devices=None) -> Mesh:
     return Mesh(mesh_devices, axes)
 
 
+def host_transfer_dtype(cfg):
+    """Numpy dtype to pre-cast float32 input frames to before
+    ``device_put``, or None to ship as-is.
+
+    With ``TPU.COMPUTE_DTYPE=bfloat16`` the model's entry op casts f32
+    inputs to bf16 on device anyway (``models/mvit.py:893``,
+    round-to-nearest-even — the same rounding ml_dtypes applies on the
+    host), so pre-casting is BIT-IDENTICAL and halves the host->device
+    input bytes: the dominant input-pipeline cost on PCIe and a 2x win on
+    tunneled links. ``TPU.BF16_HOST_TRANSFER=False`` restores f32 wire
+    format."""
+    if (getattr(cfg.TPU, "BF16_HOST_TRANSFER", False)
+            and cfg.TPU.COMPUTE_DTYPE == "bfloat16"):
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    return None
+
+
+def cast_for_transfer(x, in_dtype):
+    """Pre-cast a float32 frame array for upload (no-op otherwise)."""
+    if in_dtype is not None and x.dtype == np.float32:
+        return x.astype(in_dtype)
+    return x
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
     return NamedSharding(mesh, P(mesh.axis_names[0]))

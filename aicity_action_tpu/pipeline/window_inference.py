@@ -64,6 +64,7 @@ class WindowDataset:
         self.arch_pathways = arch_pathways
         self.slowfast_alpha = slowfast_alpha
         self.backend = backend if backend != "decord" or decord else "cv2"
+        self.last_decode_backend: Optional[str] = None  # set per decode run
 
         if self.backend == "decord":
             vr = decord.VideoReader(video_path, num_threads=0)
@@ -254,6 +255,7 @@ class WindowDataset:
         (``native.VideoDecoderI420``); None falls back to cv2. Disable
         with ``AICITY_VDEC=0`` (the cv2 and FFmpeg resamplers differ by
         ~1 u8 LSB — A/B or bit-pinning runs force one backend)."""
+        self.last_decode_backend = "cv2"
         if os.environ.get("AICITY_VDEC", "1") == "0":
             return None
         if self.backend != "cv2":
@@ -271,9 +273,11 @@ class WindowDataset:
             if any(v % 2 for v in roi):
                 return None
         try:
-            return native.VideoDecoderI420(self.video_path, s, roi)
+            dec = native.VideoDecoderI420(self.video_path, s, roi)
         except Exception:
             return None
+        self.last_decode_backend = "vdec"
+        return dec
 
     def _frame_writer(self, s: int, yuv420: bool, rgb: bool):
         """Returns ``write(frame, out_row)``: ROI-crop + resize ONE decoded
@@ -591,6 +595,9 @@ class WindowScorer:
                 lambda v, xs: module.apply(v, xs, train=False)
             )
         self._jax = jax
+        # phase split (decode/upload/dispatch/drain + provenance) of the
+        # most recent _score_device_gather run, for bench/driver artifacts
+        self.last_timers: Optional[dict] = None
 
     def _bgr_variables(self):
         """Variables with the patch-embed kernel's input-channel axis
@@ -818,9 +825,16 @@ class WindowScorer:
             timers["drain"] += _time.time() - t
         th.join()
         gen.close()  # release the parallel decoder's pool + cv2 handles
+        # phase split of the last scored video — bench.py publishes this in
+        # its JSON so a driver-side p50 shift is attributable (decode-bound
+        # vs dispatch-bound) instead of a bare number (VERDICT r4 weak #1)
+        timers["calls"] = len(pending)
+        timers["chunks"] = n_chunks
+        timers["decoder"] = dataset.last_decode_backend or "cv2"
+        self.last_timers = dict(timers)
         if os.environ.get("WINDOW_SCORER_TIMINGS"):
             print(f"# window_scorer timings: "
-                  f"{ {k: round(v, 1) for k, v in timers.items()} }",
+                  f"{ {k: round(v, 1) if isinstance(v, float) else v for k, v in timers.items()} }",
                   file=sys.stderr)
         preds = []
         for arr, (_, spans) in zip(arrs, pending):
