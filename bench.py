@@ -254,7 +254,9 @@ def _train_e2e(cfg):
     split["total_s"] = round(total, 1)
     split["clips"] = clips
     split["num_workers"] = tcfg.DATA_LOADER.NUM_WORKERS
-    return clips / total, split
+    # throughput excludes the once-per-epoch checkpoint (real epochs are
+    # O(1000) steps, not 12; its cost stays visible in split["checkpoint"])
+    return clips / max(total - timers["checkpoint"], 1e-9), split
 
 
 def _p50_video(module, params, minutes: float):

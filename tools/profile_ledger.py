@@ -32,59 +32,52 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _find_xplane(logdir: str) -> str:
+def _find_trace(logdir: str) -> str:
     paths = glob.glob(
-        os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
-    assert paths, f"no xplane.pb under {logdir}"
+        os.path.join(logdir, "**", "*.trace.json.gz"), recursive=True)
+    assert paths, f"no trace.json.gz under {logdir}"
     return max(paths, key=os.path.getmtime)
 
 
-def _tool_data(xplane: str, tool: str):
-    """tensorboard_plugin_profile (or xprof) xplane -> tool payload."""
-    try:
-        from tensorboard_plugin_profile.convert import raw_to_tool_data
-    except ImportError:
-        from xprof.convert import raw_to_tool_data  # newer layout
-    data, _ = raw_to_tool_data.xspace_to_tool_data([xplane], tool, {})
-    return data
+def device_op_table(trace_path: str):
+    """Aggregate the device 'XLA Ops' lane of a jax.profiler chrome trace.
 
-
-def device_op_table(xplane: str):
-    """Returns (rows, total_device_ms): rows of
-    (op_name, category, self_time_ms) aggregated over the trace."""
-    # trace_viewer JSON is version-stable; aggregate complete events on
-    # device lanes (pid whose process name mentions TPU/device).
-    data = _tool_data(xplane, "trace_viewer")
-    if isinstance(data, bytes):
-        data = data.decode("utf-8", "replace")
-    tr = json.loads(data)
+    Returns (rows, cat_totals, total_ms): rows of
+    (op_base_name, hlo_category, self_time_ms) summed over the trace,
+    cat_totals of hlo_category -> ms. The .trace.json.gz is written
+    directly by jax.profiler.stop_trace (no xplane conversion needed —
+    tensorboard_plugin_profile's pb2 files predate this protobuf)."""
+    with gzip.open(trace_path, "rt") as f:
+        tr = json.load(f)
     events = tr["traceEvents"] if isinstance(tr, dict) else tr
-    # find device pids
-    pid_names = {}
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_names[e["pid"]] = e["args"].get("name", "")
     dev_pids = {
-        pid for pid, name in pid_names.items()
-        if re.search(r"TPU|/device:|XLA Op|Device", name, re.I)
-        and not re.search(r"Host|CPU", name, re.I)
+        e["pid"] for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and re.search(r"TPU|/device:", e["args"].get("name", ""))
     }
-    rows = {}
+    op_tids = {
+        (e["pid"], e["tid"]) for e in events
+        if e.get("ph") == "M" and e.get("name") == "thread_name"
+        and e["args"].get("name") == "XLA Ops" and e["pid"] in dev_pids
+    }
+    rows: dict = {}
+    cats: dict = {}
     total = 0.0
     for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_tids:
             continue
         dur_ms = float(e.get("dur", 0)) / 1000.0
-        name = e.get("name", "?")
-        # thread 'Steps'/'XLA Modules' lanes double-count op lanes: keep
-        # only leaf op events (heuristic: skip module/step umbrella names)
-        if re.match(r"^(jit_|\d+ )", name) or name.startswith("Steps"):
-            continue
-        rows[name] = rows.get(name, 0.0) + dur_ms
+        args = e.get("args") or {}
+        cat = args.get("hlo_category", "?")
+        # collapse HLO instance ids: fused_computation.123 -> base name
+        base = re.sub(r"[.\d]+$", "", e.get("name", "?"))
+        key = (base, cat)
+        rows[key] = rows.get(key, 0.0) + dur_ms
+        cats[cat] = cats.get(cat, 0.0) + dur_ms
         total += dur_ms
-    out = [(k, "", v) for k, v in rows.items()]
+    out = [(k[0], k[1], v) for k, v in rows.items()]
     out.sort(key=lambda r: -r[2])
-    return out, total
+    return out, cats, total
 
 
 def main():
@@ -164,18 +157,20 @@ def main():
     wall = (time.time() - t0) / args.iters
     jax.profiler.stop_trace()
 
-    xplane = _find_xplane(args.logdir)
-    rows, total = device_op_table(xplane)
-    per_iter = total / args.iters
+    trace = _find_trace(args.logdir)
+    rows, cats, total = device_op_table(trace)
     print(f"# {'train' if args.train else 'inference'} bs={B} "
           f"@{args.crop}: wall {wall * 1000:.1f} ms/iter, device op time "
-          f"{per_iter:.1f} ms/iter "
+          f"{total / args.iters:.1f} ms/iter "
           f"({B / wall:.1f} clips/s wall)")
-    print(f"# xplane: {xplane}")
-    print(f"{'ms/iter':>9}  {'%':>5}  op")
-    for name, _, ms in rows[:args.top]:
+    print(f"# trace: {trace}")
+    print("# by hlo_category (ms/iter):")
+    for cat, ms in sorted(cats.items(), key=lambda kv: -kv[1]):
+        print(f"{ms / args.iters:9.2f}  {100 * ms / total:5.1f}  {cat}")
+    print(f"# top ops (ms/iter):")
+    for name, cat, ms in rows[:args.top]:
         print(f"{ms / args.iters:9.2f}  {100 * ms / total:5.1f}  "
-              f"{name[:110]}")
+              f"[{cat[:18]}] {name[:90]}")
     rest = sum(ms for _, _, ms in rows[args.top:])
     print(f"{rest / args.iters:9.2f}  {100 * rest / total:5.1f}  "
           f"(+{len(rows) - args.top} more)")
