@@ -40,6 +40,16 @@ import numpy as np
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 CROP = 448
 ITERS = 10
+# soft wall-clock budget: optional sections (train e2e, extra video runs)
+# self-skip once exceeded, so a degraded tunnel (2x+ run-to-run swings
+# observed on these VMs) degrades the artifact instead of timing out the
+# whole bench under the driver
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+_T_START = time.time()
+
+
+def _over_budget() -> bool:
+    return time.time() - _T_START > BUDGET_S
 TPU_PEAK_FLOPS = 197e12          # v5e bf16
 A100_TF32_PEAK = 156e12
 A100_ASSUMED_UTIL = 0.20         # typical eager-torch video-model efficiency
@@ -326,7 +336,11 @@ def _p50_video(module, params, minutes: float):
     # so a shift is attributable from the artifact alone (decode-bound vs
     # dispatch-bound, which decoder backend ran, cold vs warm video file)
     runs, splits = [], []
-    for _ in range(int(os.environ.get("BENCH_VIDEO_RUNS", "2"))):
+    for i in range(int(os.environ.get("BENCH_VIDEO_RUNS", "2"))):
+        if runs and _over_budget():
+            print(f"# video run {i + 1} skipped: over BENCH_BUDGET_S",
+                  file=sys.stderr)
+            break
         ds = WindowDataset(path, frame_size=CROP)
         t0 = time.time()
         preds = scorer.score_video(ds)
@@ -384,7 +398,7 @@ def main():
             print(f"# train metric failed: {e}", file=sys.stderr)
 
     train_e2e = train_e2e_split = None
-    if os.environ.get("BENCH_TRAIN_E2E", "1") != "0":
+    if os.environ.get("BENCH_TRAIN_E2E", "1") != "0" and not _over_budget():
         try:
             train_e2e, train_e2e_split = _train_e2e(cfg)
         except Exception as e:  # e2e metric must not sink the headline
