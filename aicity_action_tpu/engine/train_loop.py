@@ -230,69 +230,89 @@ def train(cfg):
             dev["n_valid"] = jax.device_put(np.int32(n_valid), repl)
             return dev, padded["labels"], n_valid
 
+        # Deferred metric processing: materializing the loss right after
+        # dispatch is a full device sync per step — it serializes the host
+        # against the device and costs one link RTT per iteration. Results
+        # are instead processed RUNAHEAD steps behind the dispatch (device
+        # arrays are futures; by the time iter N dispatches, iter
+        # N-RUNAHEAD's scalars are already on their way), so the host
+        # stays ahead by the same depth the input prefetch runs at. The
+        # NaN hard-fail fires at most RUNAHEAD steps late — still within
+        # the epoch, before any checkpoint write.
+        runahead = max(int(cfg.TPU.PREFETCH_DEPTH), 0)
+        host_step = int(np.asarray(state.step))  # one fetch per epoch
+
+        def process(entry):
+            cur_it, metrics, preds, labels_np, n_valid, step_at = entry
+            loss = float(np.asarray(metrics["loss"]))
+            if not math.isfinite(loss):
+                raise RuntimeError(
+                    f"ERROR: Got NaN/Inf loss at epoch {cur_epoch} "
+                    f"iter {cur_it}"
+                )
+            if not detection and not multihead and labels_np.ndim == 1:
+                preds_np = np.asarray(
+                    jax.device_get(preds), np.float32)[:n_valid]
+                if mixup_fn is not None:
+                    # mixup stats: a prediction counts as correct if it
+                    # hits either of the two mixed source labels
+                    # (reference train_net.py:248-258 top-2 merge);
+                    # sample i was mixed with sample B-1-i of the
+                    # (padded) batch
+                    partners = labels_np[::-1][:n_valid]
+                    top1, top5 = _errors_mixed(
+                        preds_np, labels_np[:n_valid], partners)
+                else:
+                    top1, top5 = _errors(preds_np, labels_np[:n_valid])
+            else:
+                top1 = top5 = None
+            lr = float(lr_schedule(step_at))
+            train_meter.update_stats(top1, top5, loss, lr, n_valid)
+            if writer is not None:
+                scalars = {"Train/loss": loss, "Train/lr": lr}
+                if top1 is not None:
+                    scalars["Train/Top1_err"] = top1
+                    scalars["Train/Top5_err"] = top5
+                writer.add_scalars(
+                    scalars,
+                    global_step=cur_epoch * steps_per_epoch + cur_it,
+                )
+            train_meter.log_iter_stats(cur_epoch, cur_it)
+
         with mesh:
             prefetched = prefetch_to_device(
                 train_loader,
                 pad_and_put,
                 lookahead=cfg.TPU.PREFETCH_DEPTH,
             )
+            pending: list = []
             for cur_iter, (_, (dev_batch, labels_np, n_valid)) in enumerate(
                     prefetched):
                 train_meter.data_toc()
 
                 profiling = (cfg.TPU.PROFILE_DIR
                              and jax.process_index() == 0)
-                # only pull the step scalar when profiling: it costs a
-                # device roundtrip per iteration
-                global_step = (int(np.asarray(state.step))
-                               if profiling else -1)
                 if (profiling
-                        and global_step == cfg.TPU.PROFILE_START_STEP):
+                        and host_step == cfg.TPU.PROFILE_START_STEP):
                     # device trace of a few steady-state steps (the
                     # reference has only wall-clock meters; on TPU the
                     # profiler is free — SURVEY §5.1)
                     jax.profiler.start_trace(cfg.TPU.PROFILE_DIR)
                 state, metrics, preds = jitted_train(state, dev_batch, rng)
-                loss = float(np.asarray(metrics["loss"]))
                 if (profiling
-                        and global_step == cfg.TPU.PROFILE_START_STEP
+                        and host_step == cfg.TPU.PROFILE_START_STEP
                         + cfg.TPU.PROFILE_NUM_STEPS):
                     jax.profiler.stop_trace()
-                if not math.isfinite(loss):
-                    raise RuntimeError(
-                        f"ERROR: Got NaN/Inf loss at epoch {cur_epoch} "
-                        f"iter {cur_iter}"
-                    )
-                if not detection and not multihead and labels_np.ndim == 1:
-                    preds_np = np.asarray(
-                        jax.device_get(preds), np.float32)[:n_valid]
-                    if mixup_fn is not None:
-                        # mixup stats: a prediction counts as correct if it
-                        # hits either of the two mixed source labels
-                        # (reference train_net.py:248-258 top-2 merge);
-                        # sample i was mixed with sample B-1-i of the
-                        # (padded) batch
-                        partners = labels_np[::-1][:n_valid]
-                        top1, top5 = _errors_mixed(
-                            preds_np, labels_np[:n_valid], partners)
-                    else:
-                        top1, top5 = _errors(preds_np, labels_np[:n_valid])
-                else:
-                    top1 = top5 = None
-                lr = float(lr_schedule(int(np.asarray(state.step)) - 1))
+                pending.append(
+                    (cur_iter, metrics, preds, labels_np, n_valid,
+                     host_step))
+                host_step += 1
+                if len(pending) > runahead:
+                    process(pending.pop(0))
                 train_meter.iter_toc()
-                train_meter.update_stats(top1, top5, loss, lr, n_valid)
-                if writer is not None:
-                    scalars = {"Train/loss": loss, "Train/lr": lr}
-                    if top1 is not None:
-                        scalars["Train/Top1_err"] = top1
-                        scalars["Train/Top5_err"] = top5
-                    writer.add_scalars(
-                        scalars,
-                        global_step=cur_epoch * steps_per_epoch + cur_iter,
-                    )
-                train_meter.log_iter_stats(cur_epoch, cur_iter)
                 train_meter.iter_tic()
+            for entry in pending:  # drain: NaN gate before checkpoint/eval
+                process(entry)
 
         epoch_timer.epoch_toc()
         logger.info(
