@@ -219,7 +219,12 @@ def _train_e2e(cfg):
         return dev
 
     def run_epochs(n_epochs, state, timers=None):
+        # same deferred-fetch pattern as engine/train_loop.py: the loss
+        # scalar of iter N materializes while iter N+K dispatches, so the
+        # host never blocks on the step it just issued
         clips = 0
+        runahead = max(int(tcfg.TPU.PREFETCH_DEPTH), 0)
+        pending = []
         for _ in range(n_epochs):
             with mesh:
                 it = prefetch_to_device(
@@ -230,13 +235,16 @@ def _train_e2e(cfg):
                     if timers is not None:
                         timers["data_wait"] += t - timers.pop("_mark", t)
                     state, metrics, _ = step(state, dev_batch, rng)
-                    loss = float(np.asarray(metrics["loss"]))  # NaN gate
-                    assert np.isfinite(loss)
+                    pending.append(metrics["loss"])
+                    if len(pending) > runahead:
+                        assert np.isfinite(float(np.asarray(pending.pop(0))))
                     clips += B
                     if timers is not None:
                         timers["step_wait"] += time.time() - t
                         timers["_mark"] = time.time()
                         timers["steps"] += 1
+        for dev_loss in pending:  # drain the NaN gate
+            assert np.isfinite(float(np.asarray(dev_loss)))
         return state, clips
 
     state, _ = run_epochs(1, state)  # compile + settle
